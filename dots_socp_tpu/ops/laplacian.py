@@ -1,0 +1,234 @@
+"""Space-time Laplacian inverse, TPU-native.
+
+The phi-step solves (L_time (x) diag(av) + I (x) L_space) phi = rhs on the
+(T+1, V) grid. Like the reference (`utils/laplacian_inverse_socp.py:11-62`)
+we diagonalize the 1-D Neumann time Laplacian, decoupling the system into
+T+1 independent spatial solves -- but instead of T+1 cached SuperLU
+factorizations (inherently sequential back-substitutions), we factor the
+*spatial* pencil spectrally as well:
+
+    C = av^{-1/2} (-L_space) av^{-1/2} = Q diag(w) Q^T,  w >= 0,
+
+so every shifted solve (L_space + (lam_a - eps) diag(av)) x = b becomes
+
+    x = av^{-1/2} Q diag(1/(lam_a - eps - w)) Q^T av^{-1/2} b,
+
+i.e. two (T+1, V) x (V, V) GEMMs per iteration: exact, batched over all
+time shifts at once, and MXU-bound. Zero denominators (the joint constant
+null space when eps = 0) are pseudo-inverted to 0, which pins phi's free
+constant instead of letting it drift.
+
+The dense factor costs O(V^2) memory; `max_dense_vertices` in the solver
+selects the matrix-free preconditioned-CG path (`cg_solve`) for larger
+meshes, using L x = div(area * grad(x)) as the SpMV.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dots_socp_tpu.ops.mesh_ops import SurfaceOps, laplacian_apply
+
+
+def build_time_laplacian(n_time: int, stepsize_time: float) -> np.ndarray:
+    """Dense (T+1, T+1) Neumann 1-D Laplacian, scaled by 1/dt^2.
+
+    Interior rows are the [1, -2, 1] stencil; boundary rows [-1, 1]
+    (reference `laplacian_inverse_socp.py:15-26`). Negative semidefinite.
+    """
+    n = n_time + 1
+    lap = np.zeros((n, n))
+    idx = np.arange(1, n - 1)
+    lap[idx, idx] = -2.0
+    lap[idx, idx - 1] = 1.0
+    lap[idx, idx + 1] = 1.0
+    lap[0, 0] = lap[-1, -1] = -1.0
+    lap[0, 1] = lap[-1, -2] = 1.0
+    return lap / stepsize_time**2
+
+
+class SpectralFactor(NamedTuple):
+    """Precomputed spectral factorization of the space-time Laplacian.
+
+    u_time : (T+1, T+1) eigenvectors of the time Laplacian
+    s      : (V,) av^{-1/2}
+    q      : (V, V) eigenvectors of C (ascending eigenvalues w)
+    invfac : (T+1, V) masked 1 / (lam_a - eps - w_i)
+    """
+
+    u_time: jnp.ndarray
+    s: jnp.ndarray
+    q: jnp.ndarray
+    invfac: jnp.ndarray
+
+
+def build_spectral_factor(
+    n_time: int,
+    stepsize_time: float,
+    av: np.ndarray,
+    lap_space,
+    eps: float = 0.0,
+    dtype=jnp.float32,
+    use_host_eigh: bool | None = None,
+) -> SpectralFactor:
+    """Factor the pencil once at setup.
+
+    Parameters
+    ----------
+    av : (V,) vertex areas (area_vertices / 3)
+    lap_space : scipy sparse or dense (V, V) cotan Laplacian (negative SD)
+    use_host_eigh : force LAPACK eigh on host (default: host for float64,
+        device otherwise -- TPU f64 is emulated and slow).
+    """
+    lap_time = build_time_laplacian(n_time, stepsize_time)
+    lam_t, u_time = np.linalg.eigh(lap_time)  # lam_t <= 0 ascending
+
+    av = np.asarray(av, dtype=np.float64)
+    s = 1.0 / np.sqrt(av)
+    dense = lap_space.toarray() if hasattr(lap_space, "toarray") else np.asarray(lap_space)
+    c = -(s[:, None] * dense * s[None, :])
+    c = 0.5 * (c + c.T)  # enforce symmetry
+
+    if use_host_eigh is None:
+        use_host_eigh = dtype == jnp.float64 or jax.default_backend() == "cpu"
+
+    if use_host_eigh:
+        w, q = np.linalg.eigh(c)
+        w = jnp.asarray(w, dtype=dtype)
+        q = jnp.asarray(q, dtype=dtype)
+    else:
+        w, q = jnp.linalg.eigh(jnp.asarray(c, dtype=dtype))
+
+    lam_t = jnp.asarray(lam_t, dtype=dtype)
+    denom = (lam_t[:, None] - eps) - w[None, :]  # (T+1, V), <= 0
+    scale = jnp.max(w) - jnp.min(lam_t) + 1.0
+    tiny = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype) * scale
+    invfac = jnp.where(jnp.abs(denom) > tiny, 1.0 / denom, 0.0)
+
+    return SpectralFactor(
+        u_time=jnp.asarray(u_time, dtype=dtype),
+        s=jnp.asarray(s, dtype=dtype),
+        q=q,
+        invfac=invfac,
+    )
+
+
+def spectral_solve(factor: SpectralFactor, rhs):
+    """Apply the space-time Laplacian pseudo-inverse to rhs (T+1, V).
+
+    Two small time-transform GEMMs + two (T+1,V)x(V,V) GEMMs; everything
+    rides the MXU. Mirrors reference `laplacian_inverse_socp.py:52-61`.
+    """
+    y = factor.u_time.T @ rhs  # time transform
+    y = y * factor.s[None, :]
+    coef = y @ factor.q
+    coef = coef * factor.invfac
+    z = coef @ factor.q.T
+    z = z * factor.s[None, :]
+    return factor.u_time @ z
+
+
+class CGOperator(NamedTuple):
+    """Matrix-free shifted-Laplacian systems for the CG path.
+
+    shifts   : (T+1,) lam_a - eps (time eigenvalues, shifted)
+    jacobi   : (T+1, V) inverse diagonal of -(L_space + shift * diag(av))
+    null_row : (T+1,) 1.0 where the shifted system is singular (shift ~ 0)
+    u_time   : (T+1, T+1) time eigenvectors
+    av_unit  : (V,) av / sum(av), for deflating the constant null vector
+    """
+
+    shifts: jnp.ndarray
+    jacobi: jnp.ndarray
+    null_row: jnp.ndarray
+    u_time: jnp.ndarray
+    av_unit: jnp.ndarray
+
+
+def build_cg_operator(
+    n_time: int,
+    stepsize_time: float,
+    av: np.ndarray,
+    lap_diag: np.ndarray,
+    eps: float = 0.0,
+    dtype=jnp.float32,
+) -> CGOperator:
+    """Set up the matrix-free CG solver for meshes too large to densify.
+
+    lap_diag : (V,) diagonal of the cotan Laplacian (negative).
+    """
+    lap_time = build_time_laplacian(n_time, stepsize_time)
+    lam_t, u_time = np.linalg.eigh(lap_time)
+    av = np.asarray(av, dtype=np.float64)
+    shifts = lam_t - eps  # (T+1,)
+    diag = -(np.asarray(lap_diag)[None, :] + shifts[:, None] * av[None, :])
+    scale = np.abs(shifts).max() * av.max() + np.abs(lap_diag).max()
+    null_row = (np.abs(shifts) * av.max() < 1e-10 * scale).astype(np.float64)
+    jacobi = 1.0 / np.maximum(diag, 1e-30 * scale)
+    return CGOperator(
+        shifts=jnp.asarray(shifts, dtype=dtype),
+        jacobi=jnp.asarray(jacobi, dtype=dtype),
+        null_row=jnp.asarray(null_row, dtype=dtype),
+        u_time=jnp.asarray(u_time, dtype=dtype),
+        av_unit=jnp.asarray(av / av.sum(), dtype=dtype),
+    )
+
+
+def cg_solve(
+    ops: SurfaceOps,
+    op: CGOperator,
+    rhs,
+    x0=None,
+    max_iters: int = 200,
+    rtol: float = 1e-8,
+):
+    """Batched Jacobi-preconditioned CG over the T+1 shifted SPD systems.
+
+    Solves -(L_space + shift_a * diag(av)) x_a = -b_a for all time modes at
+    once (the whole batch shares each SpMV). Singular rows (Neumann null
+    space at shift = 0) are deflated by projecting out the constant.
+    Warm-startable via x0 (the previous iteration's time-transformed phi).
+    """
+    b = op.u_time.T @ rhs  # to time-eigenbasis: (T+1, V)
+
+    def deflate(v):
+        # Singular rows (-L at shift=0) have the constant vector as null
+        # space; consistency requires b (and keeps x) orthogonal to it.
+        mean = v.mean(axis=1, keepdims=True)
+        return v - op.null_row[:, None] * mean
+
+    def matvec(x):
+        return -(laplacian_apply(ops, x) + op.shifts[:, None] * ops.av[None, :] * x)
+
+    b = deflate(-b)
+    x = jnp.zeros_like(b) if x0 is None else op.u_time.T @ x0
+    r = b - matvec(x)
+    z = op.jacobi * r
+    p = z
+    rz = (r * z).sum(axis=1, keepdims=True)
+    b_norm = (b * b).sum()
+
+    def body(state):
+        x, r, p, rz, it = state
+        ap = matvec(p)
+        alpha = rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = op.jacobi * r
+        rz_new = (r * z).sum(axis=1, keepdims=True)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new, it + 1
+
+    def cond(state):
+        _, r, _, _, it = state
+        res = (r * r).sum()
+        return jnp.logical_and(it < max_iters, res > rtol * rtol * b_norm)
+
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+    x = deflate(x)
+    return op.u_time @ x

@@ -1,0 +1,132 @@
+"""Surface calculus on device: gradient, divergence, vertex reductions.
+
+TPU-first replacements for the reference's SciPy sparse matrices
+(`surface_pre_computations_socp.py:42-132`, applied at
+`socp/solver_socp.py:898-921,1004-1025`):
+
+  * gradient  = gather of the 3 corner values + a tiny per-triangle einsum
+  * divergence / triangle->vertex maps = gather through a padded incidence
+    table + masked sum (scatter-free, so the VPU stays dense)
+  * cotan-Laplacian SpMV = div(area * grad), matrix-free (used by the CG
+    fallback path and by tests)
+
+All arrays live in a `SurfaceOps` NamedTuple (a pytree) passed through jit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class SurfaceOps(NamedTuple):
+    """Static per-problem arrays consumed by the device operators.
+
+    tri        : (F, 3) int32   -- vertex index of corner k of triangle f
+    grad_basis : (F, 3, 3)      -- gradient of hat function of corner k
+    area_f     : (F,)           -- triangle areas
+    av         : (V,)           -- vertex areas (one-ring area / 3)
+    inc_table  : (V, D) int32   -- flat corner-slot indices f*3+k per vertex
+    inc_mask   : (V, D)         -- 1.0 valid / 0.0 padding
+    diag_soc   : (F, 3)         -- sqrt(area_f / av[tri[f,k]]) cone scaling
+    """
+
+    tri: jnp.ndarray
+    grad_basis: jnp.ndarray
+    area_f: jnp.ndarray
+    av: jnp.ndarray
+    inc_table: jnp.ndarray
+    inc_mask: jnp.ndarray
+    diag_soc: jnp.ndarray
+
+
+def build_surface_ops(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    dtype=jnp.float32,
+) -> SurfaceOps:
+    """Host-side assembly of the SurfaceOps arrays (NumPy), moved to device."""
+    from dots_socp_tpu.geometry.surface import (
+        build_incidence_table,
+        triangle_quantities,
+        vertex_areas,
+    )
+
+    triangles = np.asarray(triangles)
+    n_vertices = np.asarray(vertices).shape[0]
+    area_f, _, grad_basis = triangle_quantities(np.asarray(vertices), triangles)
+    av = vertex_areas(triangles, area_f, n_vertices) / 3.0
+    table, mask = build_incidence_table(triangles, n_vertices)
+    diag_soc = np.sqrt(area_f[:, None] / av[triangles])
+
+    return SurfaceOps(
+        tri=jnp.asarray(triangles, dtype=jnp.int32),
+        grad_basis=jnp.asarray(grad_basis, dtype=dtype),
+        area_f=jnp.asarray(area_f, dtype=dtype),
+        av=jnp.asarray(av, dtype=dtype),
+        inc_table=jnp.asarray(table),
+        inc_mask=jnp.asarray(mask, dtype=dtype),
+        diag_soc=jnp.asarray(diag_soc, dtype=dtype),
+    )
+
+
+def vertex_gather(ops: SurfaceOps, values):
+    """(..., V) vertex field -> (..., F, 3) per-corner values."""
+    return values[..., ops.tri]
+
+
+def vertex_reduce(ops: SurfaceOps, values):
+    """Sum (..., F, 3) corner-slot data into vertices: (..., V).
+
+    Adjoint of `vertex_gather`. Implemented as gather + masked sum through
+    the padded incidence table (no scatter).
+    """
+    flat = values.reshape(values.shape[:-2] + (-1,))
+    gathered = flat[..., ops.inc_table]  # (..., V, D)
+    return (gathered * ops.inc_mask).sum(-1)
+
+
+def grad_space(ops: SurfaceOps, phi):
+    """P1 gradient: (..., V) -> (..., F, 3) tangent vectors per triangle.
+
+    grad(phi)|_f = sum_k phi[tri[f,k]] * grad_basis[f,k].
+    """
+    corners = vertex_gather(ops, phi)  # (..., F, 3corner)
+    return jnp.einsum("...fk,fkc->...fc", corners, ops.grad_basis)
+
+
+def div_space(ops: SurfaceOps, m):
+    """Divergence, the negative adjoint of grad_space under plain dot product:
+    (..., F, 3) -> (..., V).
+
+    div(m)[v] = -sum_{(f,k): tri[f,k]=v} <grad_basis[f,k], m[f]>.
+    """
+    contrib = -jnp.einsum("...fc,fkc->...fk", m, ops.grad_basis)
+    return vertex_reduce(ops, contrib)
+
+
+def laplacian_apply(ops: SurfaceOps, x):
+    """Cotan Laplacian SpMV, matrix-free: L x = div(area_f * grad(x)).
+
+    Negative semidefinite; equals the assembled cotan matrix
+    (`geometry.surface.cotan_laplacian`) applied to x.
+    """
+    return div_space(ops, ops.area_f[:, None] * grad_space(ops, x))
+
+
+def triangle_mean_gather(ops: SurfaceOps, values):
+    """(..., V) -> (..., F): mean of the 3 corner values per triangle.
+
+    Device equivalent of the reference's `map_decouple_space` (1/3-weighted
+    vertex->triangle map, `socp/solver_socp.py:163-166`).
+    """
+    return vertex_gather(ops, values).mean(axis=-1)
+
+
+def weighted_vertex_reduce(ops: SurfaceOps, values):
+    """Area-weighted triangle->vertex map: sum_f area_f * values[f, k] over
+    incident slots (reference `map_triangle_to_vertice`,
+    `socp/solver_socp.py:168`). values: (..., F, 3) -> (..., V)."""
+    return vertex_reduce(ops, ops.area_f[:, None] * values)

@@ -1,0 +1,256 @@
+"""Device operator tests: adjointness, SpMV equivalence, cone projection,
+spectral and CG Laplacian solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dots_socp_tpu.geometry.generators import generate_plane_mesh
+from dots_socp_tpu.geometry.surface import cotan_laplacian, triangle_quantities
+from dots_socp_tpu.ops.cones import project_soc
+from dots_socp_tpu.ops.laplacian import (
+    build_cg_operator,
+    build_spectral_factor,
+    build_time_laplacian,
+    cg_solve,
+    spectral_solve,
+)
+from dots_socp_tpu.ops.mesh_ops import (
+    build_surface_ops,
+    div_space,
+    grad_space,
+    laplacian_apply,
+    vertex_gather,
+    vertex_reduce,
+)
+from dots_socp_tpu.ops.time_stencils import (
+    decouple_space,
+    decouple_space_adjoint,
+    div_time,
+    grad_time,
+    time_center_adjoint,
+)
+
+DT = jnp.float64
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    rng = np.random.default_rng(7)
+    vertices, triangles, _ = generate_plane_mesh(n=7)
+    vertices = vertices.copy()
+    vertices[:, 2] = 0.03 * rng.standard_normal(vertices.shape[0])
+    return vertices, triangles
+
+
+@pytest.fixture(scope="module")
+def ops(mesh):
+    vertices, triangles = mesh
+    return build_surface_ops(vertices, triangles, dtype=DT)
+
+
+def test_grad_div_adjoint(ops):
+    """<grad phi, m> = -<phi, div m> under the plain dot product."""
+    rng = np.random.default_rng(2)
+    V = ops.av.shape[0]
+    F = ops.area_f.shape[0]
+    phi = jnp.asarray(rng.standard_normal((4, V)))
+    m = jnp.asarray(rng.standard_normal((4, F, 3)))
+    lhs = jnp.sum(grad_space(ops, phi) * m)
+    rhs = -jnp.sum(phi * div_space(ops, m))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_gather_reduce_adjoint(ops):
+    rng = np.random.default_rng(3)
+    V = ops.av.shape[0]
+    F = ops.area_f.shape[0]
+    x = jnp.asarray(rng.standard_normal((2, V)))
+    y = jnp.asarray(rng.standard_normal((2, F, 3)))
+    lhs = jnp.sum(vertex_gather(ops, x) * y)
+    rhs = jnp.sum(x * vertex_reduce(ops, y))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_laplacian_apply_matches_cotan(mesh, ops):
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((3, vertices.shape[0]))
+    expected = (lap @ x.T).T
+    got = np.asarray(laplacian_apply(ops, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, atol=1e-10)
+
+
+def test_grad_of_linear_field_is_exact(mesh, ops):
+    """P1 gradient of an affine function equals its true gradient."""
+    vertices, triangles = mesh
+    coeffs = np.array([0.3, -1.2, 0.7])
+    phi = vertices @ coeffs
+    g = np.asarray(grad_space(ops, jnp.asarray(phi[None, :])))[0]
+    # The tangential projection of coeffs onto each triangle plane.
+    _, _, basis = triangle_quantities(vertices, triangles)
+    p = vertices[triangles]
+    for f in range(0, triangles.shape[0], 17):
+        e1 = p[f, 1] - p[f, 0]
+        e2 = p[f, 2] - p[f, 0]
+        # Compare tangential components only.
+        np.testing.assert_allclose(g[f] @ e1, coeffs @ e1, atol=1e-10)
+        np.testing.assert_allclose(g[f] @ e2, coeffs @ e2, atol=1e-10)
+
+
+def test_time_stencil_adjoints():
+    rng = np.random.default_rng(5)
+    T, V = 6, 11
+    dt = 1.0 / T
+    phi = jnp.asarray(rng.standard_normal((T + 1, V)))
+    m = jnp.asarray(rng.standard_normal((T, V)))
+    # div_time is the NEGATIVE adjoint of grad_time:
+    # <grad_t phi, m> = -<phi, div_t m>.
+    lhs = jnp.sum(grad_time(dt, phi) * m)
+    rhs = -jnp.sum(phi * div_time(dt, m))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+    # time_center_adjoint is the adjoint of centered averaging.
+    x = jnp.asarray(rng.standard_normal((T, V)))
+    y = jnp.asarray(rng.standard_normal((T + 1, V)))
+    avg_y = 0.5 * (y[:-1] + y[1:])
+    lhs = jnp.sum(x * avg_y)
+    rhs = jnp.sum(time_center_adjoint(x) * y)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def test_decouple_adjoint():
+    rng = np.random.default_rng(6)
+    T, F = 5, 9
+    scale = 1.7
+    b = jnp.asarray(rng.standard_normal((T + 1, F, 3)))
+    x = jnp.asarray(rng.standard_normal((T, 2, F, 3, 3)))
+    lhs = jnp.sum(decouple_space(b, scale) * x)
+    rhs = jnp.sum(b * decouple_space_adjoint(x, scale))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-12)
+
+
+def _naive_cone_projection(head, tail):
+    """Project (head, tail) onto {(s, y): s >= ||y||}, closed form."""
+    n = np.linalg.norm(tail)
+    if head >= n:
+        return head, tail
+    if head <= -n:
+        return 0.0, 0.0 * tail
+    lam = 0.5 * (1.0 + head / n)
+    return lam * n, lam * tail
+
+
+def test_soc_projection_matches_naive(ops):
+    rng = np.random.default_rng(8)
+    V = ops.av.shape[0]
+    F = ops.area_f.shape[0]
+    T = 3
+    to_fst = jnp.asarray(rng.standard_normal((T, V)))
+    to_mid = jnp.asarray(rng.standard_normal((T, 2, F, 3, 3)))
+    to_end = jnp.asarray(rng.standard_normal((T, V)))
+
+    z_fst, z_mid, z_end = project_soc(ops, to_fst, to_mid, to_end)
+    z_fst, z_mid, z_end = map(np.asarray, (z_fst, z_mid, z_end))
+    tri = np.asarray(ops.tri)
+    diag = np.asarray(ops.diag_soc)
+
+    # Check a sample of cones against the naive projection.
+    for t in range(T):
+        for v in range(0, V, 13):
+            slots = [(f, k) for f in range(F) for k in range(3) if tri[f, k] == v]
+            tail = np.concatenate(
+                [np.asarray(to_mid)[t, :, f, k, :].reshape(-1) for f, k in slots]
+                + [[np.asarray(to_end)[t, v]]]
+            )
+            head_p, tail_p = _naive_cone_projection(float(np.asarray(to_fst)[t, v]), tail)
+            np.testing.assert_allclose(z_fst[t, v], head_p, rtol=1e-10, atol=1e-12)
+            np.testing.assert_allclose(z_end[t, v], tail_p[-1], rtol=1e-10, atol=1e-12)
+            # z_mid is returned in original z coordinates: x = diag * z.
+            got = np.concatenate(
+                [
+                    (diag[f, k] * z_mid[t, :, f, k, :]).reshape(-1)
+                    for f, k in slots
+                ]
+            )
+            np.testing.assert_allclose(got, tail_p[:-1], rtol=1e-10, atol=1e-12)
+
+
+def test_soc_projection_idempotent(ops):
+    rng = np.random.default_rng(9)
+    V = ops.av.shape[0]
+    F = ops.area_f.shape[0]
+    T = 2
+    to_fst = jnp.asarray(rng.standard_normal((T, V)))
+    to_mid = jnp.asarray(rng.standard_normal((T, 2, F, 3, 3)))
+    to_end = jnp.asarray(rng.standard_normal((T, V)))
+    z1 = project_soc(ops, to_fst, to_mid, to_end)
+    # Re-project: feed z_mid back in cone coordinates (multiply by diag).
+    mid_cone = z1[1] * np.asarray(ops.diag_soc)[None, None, :, :, None]
+    z2 = project_soc(ops, z1[0], mid_cone, z1[2])
+    np.testing.assert_allclose(np.asarray(z2[0]), np.asarray(z1[0]), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(z2[2]), np.asarray(z1[2]), atol=1e-10)
+
+
+def test_time_laplacian_eigen():
+    T = 9
+    dt = 1.0 / T
+    lap = build_time_laplacian(T, dt)
+    np.testing.assert_allclose(lap, lap.T)
+    w = np.linalg.eigvalsh(lap)
+    assert w.max() < 1e-8  # negative semidefinite
+    np.testing.assert_allclose(lap @ np.ones(T + 1), 0.0, atol=1e-10)
+
+
+def test_spectral_solve_residual(mesh, ops):
+    """The spectral factor inverts the space-time Laplacian on range(A)."""
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    T = 7
+    dt = 1.0 / T
+    av = np.asarray(ops.av)
+
+    factor = build_spectral_factor(T, dt, av, lap, eps=0.0, dtype=DT)
+
+    rng = np.random.default_rng(10)
+    x_true = rng.standard_normal((T + 1, vertices.shape[0]))
+
+    def apply_spacetime(x):
+        lap_t = build_time_laplacian(T, dt)
+        return (lap_t @ x) * av[None, :] + (lap @ x.T).T
+
+    rhs = apply_spacetime(x_true)
+    x = np.asarray(spectral_solve(factor, jnp.asarray(rhs)))
+    # Solution agrees up to the null space (global constant).
+    resid = apply_spacetime(x) - rhs
+    assert np.abs(resid).max() < 1e-8
+    diff = x - x_true
+    assert np.std(diff) < 1e-8 or np.abs(diff - diff.mean()).max() < 1e-7
+
+
+def test_cg_solve_matches_spectral(mesh, ops):
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    T = 5
+    dt = 1.0 / T
+    av = np.asarray(ops.av)
+
+    factor = build_spectral_factor(T, dt, av, lap, eps=0.0, dtype=DT)
+    cg_op = build_cg_operator(T, dt, av, lap.diagonal(), eps=0.0, dtype=DT)
+
+    rng = np.random.default_rng(11)
+    rhs = rng.standard_normal((T + 1, vertices.shape[0]))
+    # Make rhs consistent (orthogonal to the global constant null vector).
+    rhs -= rhs.mean()
+
+    x_spec = np.asarray(spectral_solve(factor, jnp.asarray(rhs)))
+    x_cg = np.asarray(
+        cg_solve(ops, cg_op, jnp.asarray(rhs), max_iters=500, rtol=1e-13)
+    )
+    diff = x_spec - x_cg
+    assert np.abs(diff - diff.mean()).max() < 1e-6

@@ -1,0 +1,475 @@
+"""solver_socp: the iALM orchestration loop (host side).
+
+Same contract as the reference solver (`socp/solver_socp.py:25-871`):
+``solver_socp(n_time, geometry, **kw) -> (SolutionSocpData, RunningHistory)``
+with identical defaults, schedules and stopping semantics. The execution
+model differs TPU-first:
+
+  * iterations run on device in multi-iteration chunks (`step.run_chunk`);
+    the host plans chunk boundaries so they land exactly on the iterations
+    where the reference would act (KKT validation per the adaptive cadence,
+    sigma adjustments, rescaling triggers), then syncs once per chunk;
+  * all 7 dual-valued KKT residuals are computed fused on device at
+    validation points (the circular-queue early-exit would save nothing
+    once the evaluation is a single fused kernel);
+  * the scaling machinery mutates a carried state pytree through jitted
+    transforms instead of in-place NumPy writes.
+
+`is_multi_threads` is accepted for API parity and ignored: the reference
+uses two Python threads to overlap the Laplacian solve and the cone
+projection (`solver_socp.py:674-696`); here both live in one XLA program.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from math import exp, sqrt
+
+import jax
+import numpy as np
+
+from dots_socp_tpu.config import LOG_LEVELS
+from dots_socp_tpu.ops.time_stencils import grad_time
+from dots_socp_tpu.ops.mesh_ops import grad_space
+from dots_socp_tpu.ops.time_stencils import decouple_space_adjoint
+from dots_socp_tpu.solver.kkt import compute_kkt, objective_functional
+from dots_socp_tpu.solver.problem import build_problem
+from dots_socp_tpu.solver.scaling import (
+    apply_penalty_factor,
+    apply_prim_dual_scale,
+    apply_z_scale,
+    compute_var_norms,
+)
+from dots_socp_tpu.solver.schedule import AdaptiveKKTCadence, SigmaSchedule
+from dots_socp_tpu.solver.state import init_state
+from dots_socp_tpu.solver.step import run_chunk
+from dots_socp_tpu.utils.history import RunningHistory
+from dots_socp_tpu.utils.types import (
+    CheckpointDotData,
+    GeometryData,
+    SolutionSocpData,
+)
+
+KKT_LABELS = [
+    "SOC & Org : Primal Feasibility (q)",
+    "SOC       : Primal Feasibility (z)",
+    "SOC & Org : Dual Feasibility (alpha)",
+    "SOC       : Dual Feasibility (beta)",
+    "      Org : ||rho - Pi+(rho + Fq)||",
+    "      Org : ||m - rho o B||",
+    "      Org : ||cong. rho - lambda_c||",
+]
+KKT_SHORT_LABELS = [
+    "Prim(phi, q)",
+    "Prim(q, z)",
+    "Dual(alpha)",
+    "Dual(beta)",
+    "Comp(rho, f(q))",
+    "Comp(m, rho o B)",
+    "Comp(rho, cong.)",
+]
+
+KKT_STOP_CONDITION = [0, 2, 4, 5]
+KKT_PRIM_POS = [0, 1]
+KKT_DUAL_POS = [2, 3]
+
+STEP_TAG = "Fused iALM step (Lap + SOC + Q + Mult)"
+KKT_TAG = "KKT validation"
+
+
+def _nanmax(values) -> float:
+    vals = np.asarray(values, dtype=float)
+    finite = vals[~np.isnan(vals)]
+    return float(finite.max()) if finite.size else float("nan")
+
+
+def solver_socp(
+    n_time,
+    geometry: GeometryData,
+    congestion=0.0,
+    nit=1000,
+    eps=0.0,
+    tol=1e-4,
+    tau=1.90,
+    is_palm=False,
+    is_multi_threads=True,
+    is_z_scaling=True,
+    is_constant_scaling=False,
+    check_kkt_step_by_step=False,
+    init_solution=None,
+    tol_checkpoints=None,
+    time_limit=1000,
+    precision=None,
+    laplacian_mode="auto",
+    max_dense_vertices=16384,
+    cg_max_iters=200,
+    cg_rtol=None,
+    max_chunk=64,
+):
+    """Solve the SOCP reformulation of DOT on a discrete surface.
+
+    Parameters mirror the reference solver; TPU-specific extras:
+
+    precision : "float32" | "float64" | None
+        None picks float64 when JAX x64 is enabled, else float32.
+    laplacian_mode : "auto" | "spectral" | "cg"
+        auto selects the dense spectral factor up to `max_dense_vertices`
+        vertices, the matrix-free CG path beyond.
+    max_chunk : int
+        Upper bound on iterations dispatched per device call (bounds the
+        granularity of the time_limit check).
+    """
+    logging.basicConfig(level=LOG_LEVELS["info"], format="%(message)s")
+
+    # --- checkpoint list validation (reference `solver_socp.py:85-94`) ------
+    checkpoint_solutions = []
+    if tol_checkpoints is not None:
+        if not isinstance(tol_checkpoints, list) or not tol_checkpoints:
+            raise ValueError("tol_checkpoints must be a non-empty list")
+        for i, cp in enumerate(tol_checkpoints):
+            if not (isinstance(cp, (int, float)) and 0 < cp < 1):
+                raise ValueError(f"invalid checkpoint at index {i}: {cp}")
+            if cp < tol:
+                raise ValueError(f"checkpoint ({cp}) < tol ({tol})")
+        tol_checkpoints = sorted(tol_checkpoints, reverse=True)
+
+    if precision is None:
+        precision = "float64" if jax.config.jax_enable_x64 else "float32"
+    nit = int(nit)
+
+    r = 1.0
+    dt = 1.0 / n_time
+
+    # --- problem assembly ---------------------------------------------------
+    t_setup = time.perf_counter()
+    config, data, extras = build_problem(
+        n_time,
+        geometry,
+        eps=eps,
+        is_palm=is_palm,
+        laplacian_mode=laplacian_mode,
+        max_dense_vertices=max_dense_vertices,
+        cg_max_iters=cg_max_iters,
+        cg_rtol=cg_rtol if cg_rtol is not None else (1e-12 if precision == "float64" else 1e-7),
+        dtype=precision,
+    )
+    logging.debug(
+        "---- Laplace matrix ".ljust(42, "-")
+        + f"\nFactorizing the Laplace matrix: {time.perf_counter() - t_setup:.2f}s."
+    )
+
+    n_vertices = config.n_vertices
+    n_triangles = config.n_triangles
+
+    logging.log(
+        LOG_LEVELS["kkt"],
+        "---- Experiment info ".ljust(42, "-") + "\n"
+        f"Congestion parameter: {congestion}"
+        f"Number of discretization points in time: {n_time}\n"
+        f"Number of discretization vertices: {n_vertices}\n"
+        f"Number of discretization triangles: {n_triangles}\n"
+        f"Stepsize: {tau}\n"
+        f"Is multiple threads: {is_multi_threads}",
+    )
+
+    # --- normalization constants -------------------------------------------
+    av = extras["av"]
+    mu0 = np.asarray(geometry["mu0"], dtype=np.float64)
+    mu1 = np.asarray(geometry["mu1"], dtype=np.float64)
+    # norm_boundary = r*dt*sqrt(nsc(boundary/av)) with boundary rows
+    # -/+ mu_b/(r dt): only the two boundary rows contribute.
+    norm_boundary = (
+        r * dt * sqrt((np.sum(mu0**2 / av) + np.sum(mu1**2 / av)) / (r * dt) ** 2 / (n_time + 1))
+    )
+    norm_constant_d = extras["norm_constant_d"]
+
+    ops = data.ops
+    state = init_state(
+        n_time,
+        n_vertices,
+        n_triangles,
+        mu0,
+        mu1,
+        dt,
+        grad_time_fn=lambda p: grad_time(dt, p),
+        grad_space_fn=lambda p: grad_space(ops, p),
+        decouple_adjoint_fn=decouple_space_adjoint,
+        init_solution=init_solution or {},
+        congestion=congestion,
+        tau=tau,
+        eps=eps,
+        r=r,
+        norm_constant_d=norm_constant_d,
+        norm_boundary=norm_boundary,
+        dtype=config.jnp_dtype,
+    )
+
+    run_history = RunningHistory(
+        max_record_numbers=nit + 2,
+        kkt_labels=KKT_LABELS,
+        kkt_short_labels=KKT_SHORT_LABELS,
+        name="SOCP",
+    )
+    sched = SigmaSchedule()
+    cadence = AdaptiveKKTCadence()
+    prim_gap = 1.0 + 1.0 * exp(-100 * congestion)
+    converged_mask = np.zeros(7, dtype=bool)
+
+    run_history.start()
+    run_history.create_tol_progress(target_tol=tol)
+
+    # --- initial scalings ---------------------------------------------------
+    if is_z_scaling:
+        logging.log(LOG_LEVELS["scaling"], "Initially scale z with z factor: 2.0")
+        state = apply_z_scale(state, 2.0)
+
+    if is_constant_scaling:
+        state = _initial_constant_scaling(config, data, state, n_time)
+
+    # --- main loop ----------------------------------------------------------
+    def fetch_kkt(state):
+        t0 = time.perf_counter()
+        table = np.asarray(compute_kkt(config, data, state))
+        run_history.add_step_time(KKT_TAG, time.perf_counter() - t0)
+        return table[:, 0], table[:, 1]
+
+    def snapshot_checkpoint(state, iteration, org):
+        scale = float(state.r) * float(state.dual_scale)
+        return CheckpointDotData(
+            mu=scale * np.asarray(state.mu),
+            E=scale * np.asarray(state.E),
+            iteration=iteration,
+            time=run_history.get_running_time(),
+            kkt=list(org),
+        )
+
+    it = 0
+    it_done = -1
+    error = None
+    is_org_kkt = False
+    org = np.full(7, np.inf)
+    scaled = np.full(7, np.nan)
+    start_time = time.perf_counter()
+    passed = False
+
+    while it < nit:
+        # ---- pre-iteration events at iteration `it` ------------------------
+        if is_constant_scaling and SigmaSchedule.is_to_scale(it):
+            prim, dual = map(np.asarray, compute_var_norms(config, data, state))
+            pr, dr = SigmaSchedule.compute_scale_factor(
+                prim, dual, msg=f"Var Norm at iteration {it}"
+            )
+            if max(pr, dr) / min(pr, dr) > 2.0:
+                logging.log(
+                    LOG_LEVELS["scaling"],
+                    f"Scale/Rescale with (prim, dual) factor: {1.0/pr}, {1.0/dr}",
+                )
+                state = apply_prim_dual_scale(state, pr, dr)
+
+        if is_z_scaling and sched.is_to_scale_matrix(
+            it, run_history.get_current_kkt_errors()
+        ):
+            kkt_now = run_history.get_current_kkt_errors()
+            rescale_z = prim_gap * sqrt(kkt_now[1] / kkt_now[0])
+            if rescale_z > 1.25:
+                logging.log(
+                    LOG_LEVELS["scaling"],
+                    f"Rescale z at iteration {it} with z factor: {rescale_z}",
+                )
+                state = apply_z_scale(state, rescale_z)
+
+        # ---- plan the next chunk ------------------------------------------
+        if check_kkt_step_by_step:
+            stop_after = it
+        else:
+            stop_after = min(
+                it + cadence.iterations_until_next() - 1,
+                sched.next_adjust_iteration(it),
+                nit - 1,
+                it + max_chunk - 1,
+            )
+            stop_after = min(stop_after, _next_pre_event(it, is_constant_scaling,
+                                                         is_z_scaling, sched) - 1)
+            stop_after = max(stop_after, it)
+        k = stop_after - it + 1
+
+        t0 = time.perf_counter()
+        state = run_chunk(config, data, state, np.int32(k))
+        jax.block_until_ready(state.phi)
+        run_history.add_step_time(STEP_TAG, time.perf_counter() - t0)
+        it_done = stop_after
+        it = stop_after + 1
+
+        # ---- post-iteration processing for iteration `it_done` -------------
+        is_time_up = (time.perf_counter() - start_time) > time_limit
+        whether_adjust = sched.is_to_adjust(it_done) or is_time_up
+        cadence.advance(k - 1)
+        validated = cadence.tick(forced=whether_adjust or check_kkt_step_by_step)
+
+        if not validated:
+            continue
+
+        org, scaled = fetch_kkt(state)
+        passed = bool(np.all(org < tol))
+        if check_kkt_step_by_step:
+            cost, lagrangian = map(
+                float, objective_functional(config, data, state)
+            )
+            run_history.record(
+                current_it=it_done,
+                kkt_errors=org,
+                history={
+                    "Transportation cost": cost,
+                    "Objective value": lagrangian,
+                },
+            )
+        else:
+            run_history.record(current_it=it_done, kkt_errors=org)
+
+        error = _nanmax(org[KKT_STOP_CONDITION])
+        if np.isfinite(error):
+            cadence.set_error_and_tolerance(error, tol)
+
+        if not whether_adjust or check_kkt_step_by_step:
+            newly = [
+                i
+                for i in range(7)
+                if np.isfinite(org[i]) and org[i] <= tol and not converged_mask[i]
+            ]
+            converged_mask[newly] = True
+            run_history.show_tol_progress(
+                it_done,
+                error,
+                active_idx=[i for i in range(7) if not converged_mask[i]],
+                converged_idx=newly or None,
+            )
+
+        # Checkpoints at first crossing of each tolerance level.
+        while (
+            tol_checkpoints
+            and np.isfinite(error)
+            and error <= tol_checkpoints[0]
+        ):
+            checkpoint_solutions.append(snapshot_checkpoint(state, it_done, org))
+            tol_checkpoints.pop(0)
+
+        if passed or is_time_up:
+            break
+
+        if _nanmax(scaled) < 5 * tol:
+            is_org_kkt = True
+
+        if whether_adjust:
+            col = org if is_org_kkt else scaled
+            prim_error = _nanmax(col[KKT_PRIM_POS])
+            dual_error = _nanmax(col[KKT_DUAL_POS])
+            if np.isfinite(prim_error) and np.isfinite(dual_error) and dual_error > 0:
+                gap = prim_error / dual_error
+                r_now = float(state.r)
+                factor = sched.updated_sigma(r_now, gap) / r_now
+                if factor != 1.0:
+                    state = apply_penalty_factor(state, factor)
+
+    counter_main = it_done if it_done >= 0 else -1
+
+    # --- final validation + recovery ---------------------------------------
+    org, scaled = fetch_kkt(state)
+    cost, lagrangian = map(float, objective_functional(config, data, state))
+    run_history.record(
+        current_it=max(counter_main, 0),
+        kkt_errors=org,
+        history={"Transportation cost": cost, "Objective value": lagrangian},
+    )
+    run_history.end()
+
+    solution = _recover_solution(state, checkpoint_solutions)
+
+    congestion_norm = float(
+        np.linalg.norm(
+            np.asarray(solution["lambda_c"])
+            - float(state.congestion) * np.asarray(solution["mu"])
+        )
+    )
+    logging.log(
+        LOG_LEVELS["info"],
+        "---- Overview of solution ".ljust(42, "-") + "\n"
+        f"Congestion norm: {congestion_norm:.2f}\n"
+        f"Number of iterations: {counter_main}\n"
+        f"Iteration time: {run_history.running_time:.2f}",
+    )
+
+    return solution, run_history
+
+
+def _next_pre_event(it, is_constant_scaling, is_z_scaling, sched) -> int:
+    """Smallest iteration > it at which a pre-iteration event could fire."""
+    candidates = [2**62]
+    if is_constant_scaling:
+        for target in (10, 50):
+            if target > it:
+                candidates.append(target)
+        nxt = ((it - 50) // 100 + 1) * 100 + 50
+        if nxt > it:
+            candidates.append(nxt)
+    if is_z_scaling and sched.z_scale_count < 1:
+        # The z-rescale can fire at any iteration >= 100 once the recorded
+        # KKT drops below 5e-3; the recorded KKT only changes at validation
+        # points, which are chunk boundaries anyway, so crossing iteration
+        # 100 is the only boundary to respect here.
+        if it < 100:
+            candidates.append(100)
+    return int(min(candidates))
+
+
+def _initial_constant_scaling(config, data, state, n_time):
+    """is_constant_scaling startup rescale (reference
+    `solver_socp.py:574-586`)."""
+    import jax.numpy as jnp
+
+    from dots_socp_tpu.solver.kkt import _norms
+
+    nst, nsc, nss, _ = _norms(config, data)
+    bt = state.r * state.boundary / data.ops.av[None, :]
+    norm_c = float(jnp.sqrt(nsc(bt)))
+    norm_ac = float(
+        jnp.sqrt(
+            nst(grad_time(config.stepsize_time, bt))
+            + nss(grad_space(data.ops, bt))
+        )
+    )
+    dual_init = sqrt(n_time) * norm_c**2 / norm_ac
+    prim_init = float(state.norm_constant_d)
+    if max(prim_init, dual_init) / min(prim_init, dual_init) > 2.0:
+        logging.log(
+            LOG_LEVELS["scaling"],
+            f"Var Norm at initial scaling with (prim, dual) factor: "
+            f"{1.0/prim_init}, {1.0/dual_init}",
+        )
+        state = apply_prim_dual_scale(state, prim_init, dual_init)
+    state = apply_penalty_factor(state, 1.0 / float(state.r))
+    return state
+
+
+def _recover_solution(state, checkpoint_solutions) -> SolutionSocpData:
+    """Undo the prim/dual/z/r scalings (reference
+    `recorver_scaled_solution`, `solver_socp.py:397-412`)."""
+    ps = float(state.prim_scale)
+    ds = float(state.dual_scale)
+    sz = float(state.scale_z)
+    r = float(state.r)
+    return SolutionSocpData(
+        phi=ps * np.asarray(state.phi),
+        A=ps * np.asarray(state.A),
+        B=ps * np.asarray(state.B),
+        lambda_c=ps * np.asarray(state.lambda_c),
+        z_fst=(ps / sz) * np.asarray(state.z_fst),
+        z_mid=(ps / sz) * np.asarray(state.z_mid),
+        z_end=(ps / sz) * np.asarray(state.z_end),
+        mu=(r * ds) * np.asarray(state.mu),
+        E=(r * ds) * np.asarray(state.E),
+        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst),
+        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid),
+        beta_end=(r * sz * ds) * np.asarray(state.beta_end),
+        checkpoints=checkpoint_solutions if checkpoint_solutions else None,
+    )

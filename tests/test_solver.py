@@ -1,0 +1,139 @@
+"""End-to-end solver tests on the generated plane example."""
+
+import numpy as np
+import pytest
+
+from dots_socp_tpu.solver import solver, solver_raw, solver_socp
+
+
+@pytest.fixture(scope="module")
+def solved(plane_geometry):
+    solution, history = solver(
+        8, plane_geometry, nit=1500, tol=1e-4, time_limit=300
+    )
+    return solution, history
+
+
+def test_mass_conservation(solved, plane_geometry):
+    solution, _ = solved
+    mu = solution["mu"]
+    masses = mu.sum(axis=1)
+    np.testing.assert_allclose(masses, 1.0, atol=5e-4)
+
+
+def test_nonnegative_density(solved):
+    solution, _ = solved
+    mu = solution["mu"]
+    assert mu[mu < 0].sum() > -1e-3
+
+
+def test_kkt_converged(solved):
+    _, history = solved
+    final = history.get_current_kkt_errors()
+    assert np.all(final < 1e-4)
+
+
+def test_kkt_errors_decrease(solved):
+    _, history = solved
+    # Stop error should drop by orders of magnitude start to end.
+    stop_cols = [0, 2, 4, 5]
+    errs = np.nanmax(history.kkt_errors[:, stop_cols], axis=1)
+    finite = errs[np.isfinite(errs)]
+    assert finite[-1] < 1e-4
+    assert finite[0] > 10 * finite[-1]
+
+
+def test_transport_cost_gaussian_pair(solved):
+    """For two equal-width Gaussians, the dynamic-OT dual objective equals
+    W2^2/2 = |c1 - c0|^2 / 2 up to discretization error."""
+    _, history = solved
+    cost = history.history["Transportation cost"][-1]
+    expected = 0.5 * (0.2**2 + 0.2**2)
+    assert abs(cost - expected) < 0.15 * expected
+
+
+def test_time_centered_grid_endpoints(solved, plane_geometry):
+    solution, _ = solved
+    mu = solution["mu"]
+    assert mu.shape[0] == 8 + 1
+    np.testing.assert_allclose(mu[0], plane_geometry["mu0"], atol=1e-12)
+    np.testing.assert_allclose(mu[-1], plane_geometry["mu1"], atol=1e-12)
+
+
+def test_solver_raw_staggered_units(plane_geometry):
+    solution, _ = solver_raw(4, plane_geometry, nit=50, tol=1e-2, time_limit=60)
+    assert solution["mu"].shape[0] == 4  # staggered grid: T slices
+
+
+def test_warm_start_resumes(plane_geometry):
+    sol1, hist1 = solver_socp(4, plane_geometry, nit=60, tol=1e-10, time_limit=60)
+    sol2, hist2 = solver_socp(
+        4,
+        plane_geometry,
+        nit=60,
+        tol=1e-10,
+        time_limit=60,
+        init_solution=sol1,
+    )
+    # Warm-started run should start far closer to feasibility than cold.
+    cold_first = np.nanmax(hist1.kkt_errors[0, [0, 2]])
+    warm_first = np.nanmax(hist2.kkt_errors[0, [0, 2]])
+    assert warm_first < 0.5 * cold_first
+
+
+def test_checkpoints_recorded(plane_geometry):
+    solution, _ = solver(
+        6,
+        plane_geometry,
+        nit=1500,
+        tol=1e-3,
+        time_limit=300,
+        tol_checkpoints=[1e-1, 1e-2],
+    )
+    cps = solution.get("checkpoints")
+    assert cps and len(cps) == 2
+    assert cps[0]["iteration"] <= cps[1]["iteration"]
+    for cp in cps:
+        assert cp["mu"].shape[0] == 6 + 1  # centered grid via decorator
+
+
+def test_congestion_mode(plane_geometry):
+    solution, history = solver(
+        4, plane_geometry, nit=400, tol=1e-3, time_limit=120, congestion=0.01
+    )
+    assert np.all(history.get_current_kkt_errors() < 1e-3)
+    masses = solution["mu"].sum(axis=1)
+    np.testing.assert_allclose(masses, 1.0, atol=5e-3)
+
+
+def test_cg_mode_matches_spectral(plane_geometry):
+    sol_a, _ = solver_socp(
+        4, plane_geometry, nit=40, tol=1e-12, time_limit=60,
+        laplacian_mode="spectral",
+    )
+    sol_b, _ = solver_socp(
+        4, plane_geometry, nit=40, tol=1e-12, time_limit=60,
+        laplacian_mode="cg", cg_max_iters=400, cg_rtol=1e-13,
+    )
+    np.testing.assert_allclose(sol_a["mu"], sol_b["mu"], atol=2e-6)
+
+
+def test_palm_mode_runs(plane_geometry):
+    solution, history = solver(
+        4, plane_geometry, nit=200, tol=1e-2, time_limit=120, is_palm=True
+    )
+    assert np.all(history.get_current_kkt_errors() < 1e-2)
+
+
+def test_step_by_step_history(plane_geometry):
+    _, history = solver(
+        4,
+        plane_geometry,
+        nit=12,
+        tol=1e-12,
+        time_limit=60,
+        check_kkt_step_by_step=True,
+    )
+    # Every iteration recorded, with objective history.
+    assert history.kkt_iteration.shape[0] >= 12
+    assert "Transportation cost" in history.history

@@ -1,0 +1,383 @@
+"""Visualization: density normalization + PyVista rendering (optional).
+
+Functional parity with reference `utils/show.py:28-494`. The density
+normalization math (perceptual power transform, clim scaling) is always
+available; rendering requires pyvista/imageio, which are optional extras --
+when absent, rendering entry points raise a clear ImportError while the rest
+of the framework (solve, evaluate, tables) works fully.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from dots_socp_tpu.config import LOG_LEVELS
+from dots_socp_tpu.utils.density import translate_density
+from dots_socp_tpu.utils.types import GeometryData
+
+AVAILABLE_COLORMAPS = ["bone_r", "gist_heat_r", "GnBu", "YlGnBu", "Blues"]
+DEFAULT_CMAP_SAVE = AVAILABLE_COLORMAPS[0]
+DEFAULT_CMAP_SHOW = AVAILABLE_COLORMAPS[2]
+CLIM_MAX = 1.0
+
+
+def _require_pyvista():
+    try:
+        import pyvista as pv  # noqa: F401
+
+        return pv
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "Visualization requires the optional 'pyvista' package "
+            "(pip install pyvista imageio). Solving, evaluation and table "
+            "export do not need it."
+        ) from exc
+
+
+# -----------------------------------------------------------------------------
+# Density normalization (always available)
+# -----------------------------------------------------------------------------
+def decorator_factory_power_perceptual(power: float = None):
+    """Apply a power-law perceptual transform to plotted densities."""
+    if power is None:
+        power = 1.0
+
+    def apply_power(data: np.ndarray) -> np.ndarray:
+        return CLIM_MAX * np.power(np.maximum(data, 0.0), power) / CLIM_MAX**power
+
+    def decorator(func):
+        def wrapper(*args, **kwargs):
+            return tuple(apply_power(r) for r in func(*args, **kwargs))
+
+        return wrapper
+
+    return decorator
+
+
+def normalize_density_to_plot(mu: np.ndarray, geometry: GeometryData):
+    """Scale (mu, mu0, mu1) densities jointly so the boundary max maps to
+    CLIM_MAX."""
+    mu_n = translate_density(mu, geometry)
+    mu0_n = translate_density(np.asarray(geometry["mu0"]), geometry)
+    mu1_n = translate_density(np.asarray(geometry["mu1"]), geometry)
+    max_val = max(np.max(mu0_n), np.max(mu1_n))
+    clip = lambda x: np.clip(CLIM_MAX / max_val * x, -np.inf, CLIM_MAX)
+    return clip(mu_n), clip(mu0_n), clip(mu1_n)
+
+
+def normalize_density_to_plot2(mu: np.ndarray, geometry: GeometryData):
+    """Per-time-slice normalization variant: every slice maps to [0, 1]."""
+    def per_slice(data):
+        if data.ndim == 1:
+            return data / np.max(data)
+        return CLIM_MAX * data / np.max(data, axis=1, keepdims=True)
+
+    return (
+        per_slice(translate_density(mu, geometry)),
+        per_slice(translate_density(np.asarray(geometry["mu0"]), geometry)),
+        per_slice(translate_density(np.asarray(geometry["mu1"]), geometry)),
+    )
+
+
+# -----------------------------------------------------------------------------
+# PyVista rendering (optional extra)
+# -----------------------------------------------------------------------------
+def create_pv_mesh(vertices, triangles):
+    pv = _require_pyvista()
+    faces = np.column_stack(
+        (np.full(triangles.shape[0], 3, dtype=np.int64), triangles)
+    )
+    return pv.PolyData(vertices, faces.flatten())
+
+
+def set_camera_with_config(plotter, camera_config):
+    pv = _require_pyvista()
+    if camera_config is None:
+        plotter.view_isometric()
+        return
+    cfg = camera_config[0] if isinstance(camera_config, list) else camera_config
+    camera = pv.Camera()
+    camera.position = cfg["position"]
+    camera.focal_point = cfg["focal_point"]
+    camera.up = cfg["up"]
+    plotter.camera = camera
+
+
+def _build_plotter(
+    mesh,
+    scalar_data=None,
+    title=None,
+    show=False,
+    cmap=DEFAULT_CMAP_SAVE,
+    background_color="white",
+    window_size=(1200, 1200),
+):
+    pv = _require_pyvista()
+    opts = {
+        "smooth_shading": True,
+        "specular": 0.5,
+        "specular_power": 15,
+        "show_scalar_bar": False,
+    }
+    plotter = pv.Plotter(window_size=window_size, off_screen=not show)
+    plotter.background_color = background_color
+    if scalar_data is not None:
+        mesh["values"] = scalar_data
+        plotter.add_mesh(
+            mesh,
+            scalars="values",
+            show_edges=False,
+            cmap=cmap or DEFAULT_CMAP_SAVE,
+            clim=[0.0, CLIM_MAX],
+            **opts,
+        )
+    else:
+        plotter.add_mesh(mesh, color="white", show_edges=True, line_width=0.5, **opts)
+    if title:
+        plotter.add_text(title, font_size=14, position="upper_edge")
+    return plotter
+
+
+def render_mesh(
+    mesh,
+    scalar_data=None,
+    title=None,
+    show=False,
+    save_path=None,
+    cmap=None,
+    camera_config=None,
+    background_color="white",
+    window_size=(1200, 1200),
+):
+    """Render one frame: to screen (show=True) or to an image file.
+
+    With a list of camera configs, one image per camera is written with the
+    camera name appended to the file stem; the list of paths is returned.
+    """
+    if show and save_path:
+        raise ValueError("choose either show or save_path")
+    if not show and not save_path:
+        raise ValueError("one of show / save_path is required")
+
+    kwargs = dict(
+        mesh=mesh,
+        scalar_data=scalar_data,
+        title=title,
+        show=show,
+        cmap=cmap,
+        background_color=background_color,
+        window_size=window_size,
+    )
+    if show:
+        plotter = _build_plotter(**kwargs)
+        set_camera_with_config(plotter, camera_config)
+        plotter.show()
+        plotter.close()
+        return None
+
+    if isinstance(camera_config, list):
+        base = Path(save_path)
+        paths = []
+        for idx, cfg in enumerate(camera_config):
+            camera_id = cfg.get("name") or f"camera_{idx:02d}"
+            out = base.parent / f"{base.stem}_{camera_id}{base.suffix}"
+            plotter = _build_plotter(**kwargs)
+            set_camera_with_config(plotter, cfg)
+            plotter.screenshot(out, transparent_background=False, return_img=False)
+            plotter.close()
+            paths.append(out)
+        return paths
+
+    plotter = _build_plotter(**kwargs)
+    set_camera_with_config(plotter, camera_config)
+    plotter.screenshot(save_path, transparent_background=False, return_img=False)
+    plotter.close()
+    return save_path
+
+
+def save_description_of_dot(
+    mesh, mu0, mu1, filename_format_example, camera_config=None, cmap=None
+):
+    """Save mesh-structure, initial-density and final-density stills."""
+    cmap = cmap or DEFAULT_CMAP_SAVE
+    render_mesh(
+        mesh,
+        None,
+        save_path=filename_format_example.format(description="mesh"),
+        camera_config=camera_config,
+    )
+    for tag, data in (("mu0", mu0), ("mu1", mu1)):
+        render_mesh(
+            mesh,
+            data,
+            save_path=filename_format_example.format(description=tag),
+            camera_config=camera_config,
+            cmap=cmap,
+        )
+
+
+def save_results_of_dot(
+    mesh, mu, filename_format_animation, num_frames=5, camera_config=None, cmap=None
+):
+    """Save `num_frames` evenly spaced stills of the density evolution."""
+    cmap = cmap or DEFAULT_CMAP_SAVE
+    n_time = mu.shape[0]
+    frames = [int(i * (n_time - 1) / (num_frames - 1)) for i in range(num_frames)]
+    for i in frames:
+        render_mesh(
+            mesh,
+            mu[i, :],
+            save_path=filename_format_animation.format(time_frame_number=i + 1),
+            camera_config=camera_config,
+            cmap=cmap,
+        )
+
+
+def save_animation(
+    mesh,
+    to_plot,
+    animation_filename: str,
+    window_size=(1200, 1200),
+    camera_config=None,
+    cmap=None,
+):
+    """Write the full density-evolution animation as an mp4 (per camera)."""
+    import imageio.v2 as imageio
+
+    cmap = cmap or DEFAULT_CMAP_SAVE
+    temp_dir = Path(animation_filename).parent / "temp_frames"
+    temp_dir.mkdir(exist_ok=True)
+    n_time = to_plot.shape[0]
+
+    logging.log(LOG_LEVELS["info"], "Generating animation frames...")
+    frame_files = []
+    for idx in range(n_time):
+        saved = render_mesh(
+            mesh,
+            to_plot[idx, :],
+            save_path=temp_dir / f"frame_{idx:04d}.png",
+            camera_config=camera_config,
+            window_size=window_size,
+            cmap=cmap,
+        )
+        frame_files.append(saved)
+        if (idx + 1) % 5 == 0 or idx == n_time - 1:
+            logging.log(LOG_LEVELS["info"], f"Generated {idx + 1}/{n_time} frames")
+
+    def write(filename, files):
+        logging.log(LOG_LEVELS["info"], f"Creating animation at {filename}...")
+        writer = imageio.get_writer(filename, fps=10)
+        for file in files:
+            writer.append_data(imageio.imread(file))
+        writer.close()
+
+    if isinstance(frame_files[0], list):  # multiple cameras
+        per_camera = list(map(list, zip(*frame_files)))
+        base = Path(animation_filename)
+        for idx, files in enumerate(per_camera):
+            cfg = camera_config[idx] if isinstance(camera_config, list) else {}
+            camera_id = cfg.get("name") or f"camera_{idx:02d}"
+            write(base.parent / f"{base.stem}_{camera_id}{base.suffix}", files)
+        flat = [f for files in per_camera for f in files]
+    else:
+        write(animation_filename, frame_files)
+        flat = frame_files
+
+    for file in flat:
+        try:
+            Path(file).unlink()
+        except OSError as exc:  # pragma: no cover
+            logging.warning(f"Could not remove temp file {file}: {exc}")
+    try:
+        temp_dir.rmdir()
+    except OSError as exc:  # pragma: no cover
+        logging.warning(f"Could not remove temp directory {temp_dir}: {exc}")
+    logging.log(LOG_LEVELS["info"], "Animation created successfully")
+
+
+def show_animation(
+    mesh,
+    to_plot,
+    example_name: str = None,
+    window_size=(1200, 1200),
+    camera_config=None,
+    cmap=None,
+):
+    """Interactive viewer: arrow keys / slider to scrub through time."""
+    pv = _require_pyvista()
+    cmap = cmap or DEFAULT_CMAP_SHOW
+    logging.log(
+        LOG_LEVELS["info"],
+        "Showing animation. Use LEFT/RIGHT arrow keys to navigate frames, Q to exit...",
+    )
+    plotter = pv.Plotter(window_size=window_size)
+    plotter.background_color = "white"
+    n_time = to_plot.shape[0]
+    frame = [0]
+
+    mesh["values"] = to_plot[0, :]
+    plotter.add_mesh(
+        mesh,
+        scalars="values",
+        cmap=cmap,
+        clim=[0.0, CLIM_MAX],
+        smooth_shading=True,
+        specular=0.5,
+        specular_power=15,
+        show_edges=True,
+        line_width=0.1,
+        show_scalar_bar=False,
+    )
+
+    def title_text():
+        base = f"Time Step {frame[0] + 1}/{n_time}"
+        return f"{base} - {example_name}" if example_name else base
+
+    plotter.add_text(title_text(), font_size=14, position="upper_edge", name="title")
+    set_camera_with_config(plotter, camera_config)
+    slider = [None]
+
+    def goto(idx):
+        frame[0] = idx % n_time
+        mesh["values"] = to_plot[frame[0], :]
+        plotter.add_text(
+            title_text(), font_size=14, position="upper_edge", name="title"
+        )
+        if slider[0] is not None:
+            slider[0].GetRepresentation().SetValue(100 * frame[0] / (n_time - 1))
+        plotter.render()
+
+    plotter.add_key_event("Right", lambda: goto(frame[0] + 1))
+    plotter.add_key_event("Left", lambda: goto(frame[0] - 1))
+    plotter.add_key_event("d", lambda: goto(frame[0] + 1))
+    plotter.add_key_event("a", lambda: goto(frame[0] - 1))
+
+    slider[0] = plotter.add_slider_widget(
+        lambda value: goto(int((value / 100) * (n_time - 1))),
+        [0, 100],
+        title="Frame",
+        title_height=0.01,
+        title_opacity=0.75,
+        title_color="black",
+        value=0,
+        pointa=(0.3, 0.02),
+        pointb=(1.0, 0.02),
+        style="modern",
+        color="lightblue",
+        fmt="%.0f%%",
+        interaction_event="always",
+    )
+    plotter.add_text(
+        "Use LEFT/RIGHT or A/D keys to navigate frames\n"
+        "Or use the slider right\nPress Q to exit",
+        position="lower_left",
+        font_size=12,
+        color="black",
+    )
+    try:
+        plotter.show()
+    except Exception as exc:  # pragma: no cover
+        logging.error(f"Error during plotter.show(): {exc}")

@@ -1,0 +1,130 @@
+"""Benchmark: iALM iteration throughput on the standard config, real TPU.
+
+Runs the flagship problem (plane example at replication scale: ntime=31,
+comparable vertex count to the reference benchmark meshes) and measures
+fused-iteration throughput, then prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against the reference implementation's measured
+per-iteration wall time on this host's CPU (same problem, same iteration
+count), i.e. value / reference_iterations_per_sec. The reference runs via
+the dependency shims in tests/reference_shims (numexpr -> numpy eval).
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+N_SPACE = 64          # plane mesh: ~3.5k vertices, ~7k triangles
+N_TIME = 31           # replication protocol (Makefile --ntime=31)
+BENCH_ITERS = 300     # measured fused iterations
+REF_ITERS = 12        # reference iterations to time (CPU, slow)
+
+
+def build(n_space=N_SPACE, n_time=N_TIME, dtype="float32"):
+    import logging
+
+    logging.disable(logging.CRITICAL)
+    import __graft_entry__ as graft
+
+    return graft._build(n_space, n_time, dtype, pad_multiple=8)
+
+
+def bench_tpu():
+    import jax
+
+    from dots_socp_tpu.solver.kkt import compute_kkt
+    from dots_socp_tpu.solver.step import run_chunk
+
+    config, data, state = build()
+    # Warm up / compile.
+    state = run_chunk(config, data, state, np.int32(2))
+    jax.block_until_ready(state.phi)
+    _ = np.asarray(compute_kkt(config, data, state))
+
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(BENCH_ITERS))
+    jax.block_until_ready(state.phi)
+    elapsed = time.perf_counter() - t0
+
+    kkt = np.asarray(compute_kkt(config, data, state))
+    assert np.all(np.isfinite(kkt[:, 0])), f"bench run diverged: {kkt}"
+    return BENCH_ITERS / elapsed, config
+
+
+def bench_reference_cpu():
+    """Time the reference solver's per-iteration cost on the same problem."""
+    shim_dir = Path(__file__).parent / "tests" / "reference_shims"
+    ref_dir = Path("/root/reference")
+    if not ref_dir.exists():
+        return None
+    sys.path.insert(0, str(shim_dir))
+    sys.path.insert(0, str(ref_dir))
+    try:
+        import logging
+
+        logging.disable(logging.CRITICAL)
+        from dot_surface_socp.socp.solver_socp import solver_socp as ref_solver
+
+        from dots_socp_tpu.data.loader import load_example
+        from dots_socp_tpu.geometry.normalize import normalize_geometry
+
+        _, geometry, _ = load_example(
+            example_name="plane", kwargs_generating_mesh={"n": N_SPACE}
+        )
+        geometry, _ = normalize_geometry(geometry)
+        t0 = time.perf_counter()
+        ref_solver(
+            N_TIME,
+            geometry,
+            nit=REF_ITERS,
+            tol=1e-14,
+            time_limit=600,
+            is_multi_threads=False,
+        )
+        elapsed = time.perf_counter() - t0
+        return REF_ITERS / elapsed
+    except Exception:
+        return None
+
+
+def main():
+    cache_dir = "/tmp/jax_cache_dots_socp_bench"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
+
+    iters_per_sec, config = bench_tpu()
+
+    ref_file = Path(__file__).parent / ".bench_reference_cpu.json"
+    if ref_file.exists():
+        ref_iters_per_sec = json.loads(ref_file.read_text())["iters_per_sec"]
+    else:
+        ref_iters_per_sec = bench_reference_cpu()
+        if ref_iters_per_sec is not None:
+            ref_file.write_text(json.dumps({"iters_per_sec": ref_iters_per_sec}))
+
+    vs_baseline = (
+        iters_per_sec / ref_iters_per_sec if ref_iters_per_sec else float("nan")
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"iALM iterations/s (plane n{N_SPACE}: "
+                f"V={config.n_vertices_real}, F={config.n_triangles_real}, "
+                f"T={N_TIME}, f32)",
+                "value": round(iters_per_sec, 3),
+                "unit": "iter/s",
+                "vs_baseline": round(vs_baseline, 3)
+                if vs_baseline == vs_baseline
+                else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -29,12 +29,21 @@ from dots_socp_tpu.utils.types import GeometryData
 
 @dataclasses.dataclass(frozen=True)
 class ProblemConfig:
-    """Static (hashable) solver configuration; changing any field recompiles."""
+    """Static (hashable) solver configuration; changing any field recompiles.
+
+    n_vertices / n_triangles are the PADDED sizes (array shapes); the _real
+    fields track the actual mesh for slicing results back. Padding keeps the
+    lane dimension aligned for the TPU and sharded dimensions divisible
+    across the device mesh; dummy entries carry zero area / zero basis and
+    stay identically at their fixed point (see `_pad_problem_arrays`).
+    """
 
     n_time: int
     n_vertices: int
     n_triangles: int
     stepsize_time: float
+    n_vertices_real: int = 0
+    n_triangles_real: int = 0
     is_palm: bool = False
     laplacian_mode: str = "spectral"  # "spectral" | "cg"
     cg_max_iters: int = 200
@@ -62,6 +71,10 @@ class ProblemData(NamedTuple):
     c_comp_m: jnp.ndarray
 
 
+def _round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
 def build_problem(
     n_time: int,
     geometry: GeometryData,
@@ -72,15 +85,23 @@ def build_problem(
     cg_max_iters: int = 200,
     cg_rtol: float = 1e-9,
     dtype: str = "float32",
+    pad_multiple: int = 1,
 ):
     """Assemble (ProblemConfig, ProblemData) plus host-side constants.
+
+    pad_multiple : pad the vertex and triangle counts to this multiple.
+        Dummy vertices carry mean vertex area, zero density and no incident
+        real triangles; dummy triangles carry zero area/basis and reference
+        a dummy vertex, so the padded entries remain exactly at their fixed
+        point throughout the solve. Padding serves both TPU lane alignment
+        and divisibility for sharding over a device mesh.
 
     Returns
     -------
     config : ProblemConfig
     data : ProblemData
-    extras : dict with host floats {norm_constant_d, area_mesh} and the
-        NumPy av / area_f arrays for downstream host bookkeeping.
+    extras : dict with host floats {norm_constant_d, area_mesh}, NumPy
+        av / area_f (real sizes), and padded mu0/mu1 for state init.
     """
     vertices = np.asarray(geometry["vertices"], dtype=np.float64)
     triangles = np.asarray(geometry["triangles"])
@@ -89,35 +110,79 @@ def build_problem(
     dt = 1.0 / n_time
     jdtype = jnp.float64 if dtype == "float64" else jnp.float32
 
-    ops = build_surface_ops(vertices, triangles, dtype=jdtype)
+    from dots_socp_tpu.geometry.surface import (
+        build_incidence_table,
+        vertex_areas,
+    )
 
-    area_f, angles, _ = triangle_quantities(vertices, triangles)
-    av = np.asarray(ops.av, dtype=np.float64)  # area_vertices / 3
-    lap = cotan_laplacian(triangles, angles, n_vertices)
+    area_f, angles, grad_basis = triangle_quantities(vertices, triangles)
+    av = vertex_areas(triangles, area_f, n_vertices) / 3.0
+
+    v_pad = _round_up(n_vertices, pad_multiple)
+    f_pad = _round_up(n_triangles, pad_multiple)
+
+    # --- padded operator arrays ----------------------------------------------
+    tri_p = np.concatenate(
+        [
+            triangles,
+            np.full((f_pad - n_triangles, 3), v_pad - 1 if v_pad > n_vertices else 0),
+        ]
+    ).astype(np.int64)
+    grad_basis_p = np.concatenate(
+        [grad_basis, np.zeros((f_pad - n_triangles, 3, 3))]
+    )
+    area_f_p = np.concatenate([area_f, np.zeros(f_pad - n_triangles)])
+    av_p = np.concatenate(
+        [av, np.full(v_pad - n_vertices, av.mean() if av.size else 1.0)]
+    )
+    # Incidence from REAL triangles only (dummy slots never reduced), over
+    # the padded vertex range so dummy vertices get empty (masked) rows.
+    table, mask = build_incidence_table(triangles, v_pad)
+    diag_soc_p = np.sqrt(
+        np.where(area_f_p[:, None] > 0, area_f_p[:, None], av_p[tri_p])
+        / av_p[tri_p]
+    )  # dummy triangles get diag 1 (avoids 0/0 in the cone step)
+
+    from dots_socp_tpu.ops.mesh_ops import SurfaceOps
+
+    ops = SurfaceOps(
+        tri=jnp.asarray(tri_p, dtype=jnp.int32),
+        grad_basis=jnp.asarray(grad_basis_p, dtype=jdtype),
+        area_f=jnp.asarray(area_f_p, dtype=jdtype),
+        av=jnp.asarray(av_p, dtype=jdtype),
+        inc_table=jnp.asarray(table),
+        inc_mask=jnp.asarray(mask, dtype=jdtype),
+        diag_soc=jnp.asarray(diag_soc_p, dtype=jdtype),
+    )
+
+    lap = cotan_laplacian(triangles, angles, v_pad)
 
     if laplacian_mode == "auto":
-        laplacian_mode = "spectral" if n_vertices <= max_dense_vertices else "cg"
+        laplacian_mode = "spectral" if v_pad <= max_dense_vertices else "cg"
 
     spectral = None
     cg_op = None
     if laplacian_mode == "spectral":
-        spectral = build_spectral_factor(n_time, dt, av, lap, eps=eps, dtype=jdtype)
+        spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
         cg_op = build_cg_operator(
-            n_time, dt, av, lap.diagonal(), eps=eps, dtype=jdtype
+            n_time, dt, av_p, lap.diagonal(), eps=eps, dtype=jdtype
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")
 
+    # KKT constants from the REAL mesh (padding must not bias them).
     mean_av = float(av.mean())
     mean_af = float(area_f.mean())
     scalar = lambda x: jnp.asarray(x, dtype=jdtype)
 
     config = ProblemConfig(
         n_time=n_time,
-        n_vertices=n_vertices,
-        n_triangles=n_triangles,
+        n_vertices=v_pad,
+        n_triangles=f_pad,
         stepsize_time=dt,
+        n_vertices_real=n_vertices,
+        n_triangles_real=n_triangles,
         is_palm=is_palm,
         laplacian_mode=laplacian_mode,
         cg_max_iters=cg_max_iters,
@@ -135,10 +200,16 @@ def build_problem(
         c_comp_rho=scalar(mean_av),
         c_comp_m=scalar(mean_af),
     )
+    mu0 = np.zeros(v_pad)
+    mu0[:n_vertices] = np.asarray(geometry["mu0"], dtype=np.float64)
+    mu1 = np.zeros(v_pad)
+    mu1[:n_vertices] = np.asarray(geometry["mu1"], dtype=np.float64)
     extras = {
         "area_mesh": float(area_f.sum()),
         "norm_constant_d": math.sqrt(2.0 * float(area_f.sum())),
         "av": av,
         "area_f": area_f,
+        "mu0_padded": mu0,
+        "mu1_padded": mu1,
     }
     return config, data, extras

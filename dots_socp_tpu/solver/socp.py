@@ -106,6 +106,8 @@ def solver_socp(
     cg_max_iters=200,
     cg_rtol=None,
     max_chunk=64,
+    pad_multiple=None,
+    mesh=None,
 ):
     """Solve the SOCP reformulation of DOT on a discrete surface.
 
@@ -119,6 +121,12 @@ def solver_socp(
     max_chunk : int
         Upper bound on iterations dispatched per device call (bounds the
         granularity of the time_limit check).
+    pad_multiple : int | None
+        Pad vertex/triangle counts to this multiple (None: 8 on TPU for
+        sublane alignment, or the mesh "space" axis size when sharding).
+    mesh : jax.sharding.Mesh | None
+        Shard state and operators over this ("time", "space") device mesh;
+        XLA inserts the collectives. None = single device.
     """
     logging.basicConfig(level=LOG_LEVELS["info"], format="%(message)s")
 
@@ -142,6 +150,17 @@ def solver_socp(
     dt = 1.0 / n_time
 
     # --- problem assembly ---------------------------------------------------
+    if pad_multiple is None:
+        if mesh is not None:
+            space_size = mesh.shape.get("space", 1)
+            pad_multiple = max(8, space_size) if space_size > 1 else 8
+        else:
+            pad_multiple = 8 if jax.default_backend() == "tpu" else 1
+    if mesh is not None:
+        space_size = mesh.shape.get("space", 1)
+        if pad_multiple % space_size != 0:
+            pad_multiple *= space_size
+
     t_setup = time.perf_counter()
     config, data, extras = build_problem(
         n_time,
@@ -153,6 +172,7 @@ def solver_socp(
         cg_max_iters=cg_max_iters,
         cg_rtol=cg_rtol if cg_rtol is not None else (1e-12 if precision == "float64" else 1e-7),
         dtype=precision,
+        pad_multiple=pad_multiple,
     )
     logging.debug(
         "---- Laplace matrix ".ljust(42, "-")
@@ -187,15 +207,15 @@ def solver_socp(
     ops = data.ops
     state = init_state(
         n_time,
-        n_vertices,
-        n_triangles,
-        mu0,
-        mu1,
+        config.n_vertices,
+        config.n_triangles,
+        extras["mu0_padded"],
+        extras["mu1_padded"],
         dt,
         grad_time_fn=lambda p: grad_time(dt, p),
         grad_space_fn=lambda p: grad_space(ops, p),
         decouple_adjoint_fn=decouple_space_adjoint,
-        init_solution=init_solution or {},
+        init_solution=_pad_init_solution(init_solution or {}, config),
         congestion=congestion,
         tau=tau,
         eps=eps,
@@ -204,6 +224,12 @@ def solver_socp(
         norm_boundary=norm_boundary,
         dtype=config.jnp_dtype,
     )
+
+    if mesh is not None:
+        from dots_socp_tpu.parallel.mesh import shard_problem, shard_state
+
+        data = shard_problem(mesh, data)
+        state = shard_state(mesh, state)
 
     run_history = RunningHistory(
         max_record_numbers=nit + 2,
@@ -236,9 +262,11 @@ def solver_socp(
 
     def snapshot_checkpoint(state, iteration, org):
         scale = float(state.r) * float(state.dual_scale)
+        v_real = config.n_vertices_real
+        f_real = config.n_triangles_real
         return CheckpointDotData(
-            mu=scale * np.asarray(state.mu),
-            E=scale * np.asarray(state.E),
+            mu=scale * np.asarray(state.mu)[:, :v_real],
+            E=scale * np.asarray(state.E)[:, :f_real],
             iteration=iteration,
             time=run_history.get_running_time(),
             kkt=list(org),
@@ -383,7 +411,7 @@ def solver_socp(
     )
     run_history.end()
 
-    solution = _recover_solution(state, checkpoint_solutions)
+    solution = _recover_solution(state, checkpoint_solutions, config)
 
     congestion_norm = float(
         np.linalg.norm(
@@ -451,25 +479,59 @@ def _initial_constant_scaling(config, data, state, n_time):
     return state
 
 
-def _recover_solution(state, checkpoint_solutions) -> SolutionSocpData:
+def _pad_init_solution(init_solution: dict, config) -> dict:
+    """Zero-pad a warm-start solution's vertex/triangle dims to the padded
+    problem shapes. Accepts real-sized (or already padded) arrays."""
+    if not init_solution:
+        return init_solution
+    v_pad, f_pad = config.n_vertices, config.n_triangles
+
+    def pad(arr, axis, target):
+        arr = np.asarray(arr)
+        gap = target - arr.shape[axis]
+        if gap == 0:
+            return arr
+        if gap < 0:
+            raise ValueError("warm-start array larger than padded problem")
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, gap)
+        return np.pad(arr, widths)
+
+    v_keys = {"phi": 1, "A": 1, "lambda_c": 1, "z_fst": 1, "z_end": 1,
+              "mu": 1, "beta_fst": 1, "beta_end": 1}
+    f_keys = {"B": 1, "E": 1, "z_mid": 2, "beta_mid": 2}
+    out = dict(init_solution)
+    for key, axis in v_keys.items():
+        if out.get(key) is not None:
+            out[key] = pad(out[key], axis, v_pad)
+    for key, axis in f_keys.items():
+        if out.get(key) is not None:
+            out[key] = pad(out[key], axis, f_pad)
+    return out
+
+
+def _recover_solution(state, checkpoint_solutions, config) -> SolutionSocpData:
     """Undo the prim/dual/z/r scalings (reference
-    `recorver_scaled_solution`, `solver_socp.py:397-412`)."""
+    `recorver_scaled_solution`, `solver_socp.py:397-412`) and slice the
+    padded arrays back to the real mesh."""
     ps = float(state.prim_scale)
     ds = float(state.dual_scale)
     sz = float(state.scale_z)
     r = float(state.r)
+    v = config.n_vertices_real
+    f = config.n_triangles_real
     return SolutionSocpData(
-        phi=ps * np.asarray(state.phi),
-        A=ps * np.asarray(state.A),
-        B=ps * np.asarray(state.B),
-        lambda_c=ps * np.asarray(state.lambda_c),
-        z_fst=(ps / sz) * np.asarray(state.z_fst),
-        z_mid=(ps / sz) * np.asarray(state.z_mid),
-        z_end=(ps / sz) * np.asarray(state.z_end),
-        mu=(r * ds) * np.asarray(state.mu),
-        E=(r * ds) * np.asarray(state.E),
-        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst),
-        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid),
-        beta_end=(r * sz * ds) * np.asarray(state.beta_end),
+        phi=ps * np.asarray(state.phi)[:, :v],
+        A=ps * np.asarray(state.A)[:, :v],
+        B=ps * np.asarray(state.B)[:, :f],
+        lambda_c=ps * np.asarray(state.lambda_c)[:, :v],
+        z_fst=(ps / sz) * np.asarray(state.z_fst)[:, :v],
+        z_mid=(ps / sz) * np.asarray(state.z_mid)[:, :, :f],
+        z_end=(ps / sz) * np.asarray(state.z_end)[:, :v],
+        mu=(r * ds) * np.asarray(state.mu)[:, :v],
+        E=(r * ds) * np.asarray(state.E)[:, :f],
+        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst)[:, :v],
+        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid)[:, :, :f],
+        beta_end=(r * sz * ds) * np.asarray(state.beta_end)[:, :v],
         checkpoints=checkpoint_solutions if checkpoint_solutions else None,
     )

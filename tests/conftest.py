@@ -14,6 +14,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize may force the TPU platform regardless of
+# JAX_PLATFORMS; override through the config, which wins post-import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: repeat test runs skip recompilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_dots_socp")

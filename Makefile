@@ -1,0 +1,96 @@
+# DOTs-SOCP-TPU replication harness. Mirrors the reference Makefile targets:
+#   make main       - comparison sweep (14 examples x 3 congestion levels)
+#   make true_error - accuracy vs the exact transport on the plane example
+#   make test       - unit + golden test suite
+#   make bench      - TPU throughput benchmark (one JSON line)
+PYTHON ?= python
+export PYTHONPATH := ./
+export PYTHONIOENCODING := utf-8
+
+OUTDIR := output/$(shell date +%Y_%m%d_%H%M)
+
+.DEFAULT_GOAL := help
+
+help:
+	@echo "======= DOTs-SOCP-TPU ======="
+	@echo ""
+	@echo "Benchmark"
+	@echo "------------------------------------"
+	@echo "  make main        - Run the main comparison experiments (tables)"
+	@echo "  make true_error  - Compare against the exact transportation"
+	@echo "  make test        - Run the test suite"
+	@echo "  make bench       - TPU throughput benchmark"
+	@echo ""
+	@echo "Environment Variables"
+	@echo "------------------------------------"
+	@echo "  tol=<tolerance>  - Tolerance for main experiments (default: $(tol))"
+	@echo ""
+
+.PHONY: help main true_error test bench
+
+# =======================================
+# Comparison table of numerical experiments
+# =======================================
+OUTDIR_MAIN := $(OUTDIR)_main
+tol ?= 1e-4
+
+EXAMPLES = airplane 		refined_airplane \
+		   armadillo 		refined_armadillo \
+		   hand 			refined_hand \
+		   punctured_ball 	refined_punctured_ball \
+		   bunny 			refined_bunny \
+		   ring knots_3 knots_5 hills
+CONGESTIONs = 0.00 0.01 0.05
+
+PARAM = --ntime=31 --nit=10000 --time_limit=5000 --tol=$(tol) \
+		--save --outdir=$(OUTDIR_MAIN)
+
+EXTRA_HILLS = --power_perceptual=0.5
+
+main:
+	@mkdir -p "$(OUTDIR_MAIN)"
+	@for c_value in $(CONGESTIONs); do \
+		out_dir="$(OUTDIR_MAIN)/congestion_$${c_value//./_}"; \
+		mkdir -p "$${out_dir}"; \
+		info_log_file="$${out_dir}/info.log"; \
+		for example in $(EXAMPLES); do \
+			_extra=''; \
+			if [ "$${example}" = "hills" ]; then _extra=$(EXTRA_HILLS); fi; \
+			echo "Running: example=$${example}, congestion=$${c_value}" >&2; \
+			$(PYTHON) replication/main.py \
+				$(PARAM) \
+				--example=$${example} \
+				--congestion=$${c_value} \
+				--log_file=$${info_log_file} \
+				--outdir=$${out_dir} \
+				$${_extra}; \
+		done; \
+		$(PYTHON) replication/log2table.py --input "$${info_log_file}" \
+			--output "$${out_dir}/comparison_table.tex" "$${out_dir}/comparison_table.html"; \
+	done;
+
+# =======================================
+# Error versus exact transportation
+# =======================================
+OUTDIR_TRUE_ERROR := $(OUTDIR)_true_error
+
+true_error:
+	@mkdir -p "$(OUTDIR_TRUE_ERROR)"
+	@$(PYTHON) replication/main_versus_exact.py \
+		--example=plane \
+		--n_space=50 \
+		--tol=0.00001 \
+		--nit=20000 \
+		--precision=float64 \
+		--save \
+		--outdir=$(OUTDIR_TRUE_ERROR) \
+		--log_file="$(OUTDIR_TRUE_ERROR)/info.log";
+
+test:
+	$(PYTHON) -m pytest tests/ -x -q
+
+bench:
+	$(PYTHON) bench.py
+
+all: main true_error
+.PHONY: all

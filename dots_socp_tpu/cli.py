@@ -186,6 +186,20 @@ def parse_args(parser=None, return_parser=False):
         default=None,
         help="Spatial grid points for generated meshes (plane)",
     )
+    exp_group.add_argument(
+        "--snapshot",
+        dest="snapshot_path",
+        type=str,
+        default=None,
+        help="Path to a .npz state snapshot: written periodically during the "
+        "solve, and resumed from if it already exists",
+    )
+    exp_group.add_argument(
+        "--snapshot_every",
+        type=float,
+        default=300.0,
+        help="Seconds between periodic snapshots (with --snapshot)",
+    )
 
     if return_parser:
         return parser

@@ -113,6 +113,8 @@ _KEY_MAPPING = {
     "detail_runhist": "check_kkt_step_by_step",
     "precision": "precision",
     "laplacian_mode": "laplacian_mode",
+    "snapshot_path": "snapshot_path",
+    "snapshot_every": "snapshot_every",
 }
 
 

@@ -25,6 +25,7 @@ meshes, using L x = div(area * grad(x)) as the SpMV.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -122,14 +123,20 @@ def spectral_solve(factor: SpectralFactor, rhs):
 
     Two small time-transform GEMMs + two (T+1,V)x(V,V) GEMMs; everything
     rides the MXU. Mirrors reference `laplacian_inverse_socp.py:52-61`.
+
+    Explicit HIGHEST matmul precision: bf16 MXU passes on these GEMMs put a
+    ~1e-3 relative-error floor under phi and stall KKT convergence near 1e-2,
+    regardless of the global precision default.
     """
-    y = factor.u_time.T @ rhs  # time transform
+    hi = jax.lax.Precision.HIGHEST
+    mm = partial(jnp.matmul, precision=hi)
+    y = mm(factor.u_time.T, rhs)  # time transform
     y = y * factor.s[None, :]
-    coef = y @ factor.q
+    coef = mm(y, factor.q)
     coef = coef * factor.invfac
-    z = coef @ factor.q.T
+    z = mm(coef, factor.q.T)
     z = z * factor.s[None, :]
-    return factor.u_time @ z
+    return mm(factor.u_time, z)
 
 
 class CGOperator(NamedTuple):

@@ -56,9 +56,9 @@ def _norms(config: ProblemConfig, data: ProblemData):
     return nst, nsc, nss, nsd
 
 
-@partial(jax.jit, static_argnums=0)
-def compute_kkt(config: ProblemConfig, data: ProblemData, state: SolverState):
-    """Return the (7, 2) KKT error table [original, scaled]."""
+def kkt_table(config: ProblemConfig, data: ProblemData, state: SolverState):
+    """Return the (7, 2) KKT error table [original, scaled] (traceable;
+    composed into the chunk dispatch by `step.run_chunk_kkt`)."""
     ops = data.ops
     dt = config.stepsize_time
     nst, nsc, nss, nsd = _norms(config, data)
@@ -134,6 +134,10 @@ def compute_kkt(config: ProblemConfig, data: ProblemData, state: SolverState):
     kkt6 = jnp.stack([resi6 / (data.c_comp_rho + norm_sum6), jnp.nan])
 
     return jnp.stack([kkt0, kkt1, kkt2, kkt3, kkt4, kkt5, kkt6])
+
+
+#: Standalone jitted entry (tests, final validation outside a chunk).
+compute_kkt = partial(jax.jit, static_argnums=0)(kkt_table)
 
 
 @partial(jax.jit, static_argnums=0)

@@ -54,6 +54,12 @@ class ProblemConfig:
     def jnp_dtype(self):
         return jnp.float64 if self.dtype == "float64" else jnp.float32
 
+    @property
+    def np_dtype(self):
+        import numpy as np
+
+        return np.float64 if self.dtype == "float64" else np.float32
+
 
 class ProblemData(NamedTuple):
     """Per-problem device arrays (a pytree passed through jit)."""

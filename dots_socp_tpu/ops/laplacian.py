@@ -102,7 +102,10 @@ def build_spectral_factor(
         w = jnp.asarray(w, dtype=dtype)
         q = jnp.asarray(q, dtype=dtype)
     else:
-        w, q = jnp.linalg.eigh(jnp.asarray(c, dtype=dtype))
+        # Explicitly place on the accelerator: setup may run under a CPU
+        # jax.default_device scope, but the O(V^3) eigh belongs on device.
+        c_dev = jax.device_put(jnp.asarray(c, dtype=dtype), jax.devices()[0])
+        w, q = jnp.linalg.eigh(c_dev)
 
     lam_t = jnp.asarray(lam_t, dtype=dtype)
     denom = (lam_t[:, None] - eps) - w[None, :]  # (T+1, V), <= 0

@@ -183,19 +183,24 @@ def solver_socp(
         if pad_multiple % space_size != 0:
             pad_multiple *= space_size
 
+    # Setup runs on the host CPU backend: it is a swarm of tiny ops, each of
+    # which would otherwise pay a compile + dispatch round trip to the
+    # accelerator; the finished pytrees transfer to the device once below.
     t_setup = time.perf_counter()
-    config, data, extras = build_problem(
-        n_time,
-        geometry,
-        eps=eps,
-        is_palm=is_palm,
-        laplacian_mode=laplacian_mode,
-        max_dense_vertices=max_dense_vertices,
-        cg_max_iters=cg_max_iters,
-        cg_rtol=cg_rtol if cg_rtol is not None else (1e-12 if precision == "float64" else 1e-7),
-        dtype=precision,
-        pad_multiple=pad_multiple,
-    )
+    cpu0 = jax.devices("cpu")[0]
+    with jax.default_device(cpu0):
+        config, data, extras = build_problem(
+            n_time,
+            geometry,
+            eps=eps,
+            is_palm=is_palm,
+            laplacian_mode=laplacian_mode,
+            max_dense_vertices=max_dense_vertices,
+            cg_max_iters=cg_max_iters,
+            cg_rtol=cg_rtol if cg_rtol is not None else (1e-12 if precision == "float64" else 1e-7),
+            dtype=precision,
+            pad_multiple=pad_multiple,
+        )
     logging.debug(
         "---- Laplace matrix ".ljust(42, "-")
         + f"\nFactorizing the Laplace matrix: {time.perf_counter() - t_setup:.2f}s."
@@ -227,25 +232,26 @@ def solver_socp(
     norm_constant_d = extras["norm_constant_d"]
 
     ops = data.ops
-    state = init_state(
-        n_time,
-        config.n_vertices,
-        config.n_triangles,
-        extras["mu0_padded"],
-        extras["mu1_padded"],
-        dt,
-        grad_time_fn=lambda p: grad_time(dt, p),
-        grad_space_fn=lambda p: grad_space(ops, p),
-        decouple_adjoint_fn=decouple_space_adjoint,
-        init_solution=_pad_init_solution(init_solution or {}, config),
-        congestion=congestion,
-        tau=tau,
-        eps=eps,
-        r=r,
-        norm_constant_d=norm_constant_d,
-        norm_boundary=norm_boundary,
-        dtype=config.jnp_dtype,
-    )
+    with jax.default_device(cpu0):
+        state = init_state(
+            n_time,
+            config.n_vertices,
+            config.n_triangles,
+            extras["mu0_padded"],
+            extras["mu1_padded"],
+            dt,
+            grad_time_fn=lambda p: grad_time(dt, p),
+            grad_space_fn=lambda p: grad_space(ops, p),
+            decouple_adjoint_fn=decouple_space_adjoint,
+            init_solution=_pad_init_solution(init_solution or {}, config),
+            congestion=congestion,
+            tau=tau,
+            eps=eps,
+            r=r,
+            norm_constant_d=norm_constant_d,
+            norm_boundary=norm_boundary,
+            dtype=config.jnp_dtype,
+        )
 
     # --- resume from an on-disk snapshot ------------------------------------
     resumed = None
@@ -271,6 +277,11 @@ def solver_socp(
 
         data = shard_problem(mesh, data)
         state = shard_state(mesh, state)
+    else:
+        # One bulk transfer host -> accelerator (setup built on CPU above).
+        exec_device = jax.devices()[0]
+        if exec_device.platform != "cpu":
+            data, state = jax.device_put((data, state), exec_device)
 
     run_history = RunningHistory(
         max_record_numbers=nit + 2,

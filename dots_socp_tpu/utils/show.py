@@ -37,6 +37,97 @@ def _require_pyvista():
         ) from exc
 
 
+def _has_pyvista() -> bool:
+    try:
+        import pyvista  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class MplMesh:
+    """Minimal mesh holder for the matplotlib fallback renderer (used when
+    pyvista is not installed; interactive `--show` still needs pyvista)."""
+
+    def __init__(self, vertices, triangles):
+        self.vertices = np.asarray(vertices, dtype=float)
+        self.triangles = np.asarray(triangles, dtype=np.int64)
+
+
+def _render_mesh_matplotlib(
+    mesh: "MplMesh",
+    scalar_data=None,
+    title=None,
+    save_path=None,
+    cmap=None,
+    camera_config=None,
+    window_size=(1200, 1200),
+):
+    """Static-frame renderer on matplotlib's 3D toolkit: per-triangle flat
+    shading of the density (mean of corner values), camera angles derived
+    from the pyvista camera configs."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+    from matplotlib import colormaps
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    if isinstance(camera_config, list):
+        base = Path(save_path)
+        paths = []
+        for idx, cfg in enumerate(camera_config):
+            camera_id = cfg.get("name") or f"camera_{idx:02d}"
+            out = base.parent / f"{base.stem}_{camera_id}{base.suffix}"
+            _render_mesh_matplotlib(
+                mesh, scalar_data, title, out, cmap, cfg, window_size
+            )
+            paths.append(out)
+        return paths
+
+    v, t = mesh.vertices, mesh.triangles
+    polys = v[t]  # (F, 3, 3)
+    fig = plt.figure(
+        figsize=(window_size[0] / 120, window_size[1] / 120), dpi=120
+    )
+    ax = fig.add_subplot(projection="3d")
+    if scalar_data is not None:
+        tri_vals = np.asarray(scalar_data)[t].mean(axis=1)
+        colors = colormaps[cmap or DEFAULT_CMAP_SAVE](
+            np.clip(tri_vals / CLIM_MAX, 0.0, 1.0)
+        )
+        collection = Poly3DCollection(polys, facecolors=colors, edgecolor="none")
+    else:
+        collection = Poly3DCollection(
+            polys, facecolors="white", edgecolor="0.6", linewidths=0.2
+        )
+    ax.add_collection3d(collection)
+
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    center, half = (lo + hi) / 2, (hi - lo).max() / 2 or 1.0
+    ax.set_xlim(center[0] - half, center[0] + half)
+    ax.set_ylim(center[1] - half, center[1] + half)
+    ax.set_zlim(center[2] - half, center[2] + half)
+    ax.set_axis_off()
+    ax.set_box_aspect((1, 1, 1))
+
+    if camera_config is not None:
+        d = np.asarray(camera_config["position"]) - np.asarray(
+            camera_config["focal_point"]
+        )
+        r = np.linalg.norm(d) or 1.0
+        ax.view_init(
+            elev=float(np.degrees(np.arcsin(np.clip(d[2] / r, -1, 1)))),
+            azim=float(np.degrees(np.arctan2(d[1], d[0]))),
+        )
+    if title:
+        ax.set_title(title)
+    fig.savefig(save_path, bbox_inches="tight", facecolor="white")
+    plt.close(fig)
+    return save_path
+
+
 # -----------------------------------------------------------------------------
 # Density normalization (always available)
 # -----------------------------------------------------------------------------
@@ -86,6 +177,10 @@ def normalize_density_to_plot2(mu: np.ndarray, geometry: GeometryData):
 # PyVista rendering (optional extra)
 # -----------------------------------------------------------------------------
 def create_pv_mesh(vertices, triangles):
+    """Renderable mesh: a pyvista PolyData, or the matplotlib-fallback
+    MplMesh when pyvista is not installed (static saves keep working)."""
+    if not _has_pyvista():
+        return MplMesh(vertices, triangles)
     pv = _require_pyvista()
     faces = np.column_stack(
         (np.full(triangles.shape[0], 3, dtype=np.int64), triangles)
@@ -161,6 +256,22 @@ def render_mesh(
         raise ValueError("choose either show or save_path")
     if not show and not save_path:
         raise ValueError("one of show / save_path is required")
+
+    if isinstance(mesh, MplMesh):
+        if show:
+            raise ImportError(
+                "Interactive viewing requires pyvista; static --save output "
+                "uses the matplotlib fallback."
+            )
+        return _render_mesh_matplotlib(
+            mesh,
+            scalar_data=scalar_data,
+            title=title,
+            save_path=save_path,
+            cmap=cmap,
+            camera_config=camera_config,
+            window_size=window_size,
+        )
 
     kwargs = dict(
         mesh=mesh,
@@ -244,8 +355,14 @@ def save_animation(
     camera_config=None,
     cmap=None,
 ):
-    """Write the full density-evolution animation as an mp4 (per camera)."""
-    import imageio.v2 as imageio
+    """Write the full density-evolution animation as an mp4 (per camera).
+
+    Without imageio the rendered PNG frames are kept on disk instead of
+    being assembled (and a notice logged)."""
+    try:
+        import imageio.v2 as imageio
+    except ImportError:
+        imageio = None
 
     cmap = cmap or DEFAULT_CMAP_SAVE
     temp_dir = Path(animation_filename).parent / "temp_frames"
@@ -267,24 +384,56 @@ def save_animation(
         if (idx + 1) % 5 == 0 or idx == n_time - 1:
             logging.log(LOG_LEVELS["info"], f"Generated {idx + 1}/{n_time} frames")
 
+    if imageio is None:
+        logging.log(
+            LOG_LEVELS["info"],
+            f"imageio not installed: keeping {len(frame_files)} animation "
+            f"frames in {temp_dir} instead of assembling "
+            f"{animation_filename}",
+        )
+        return
+
     def write(filename, files):
         logging.log(LOG_LEVELS["info"], f"Creating animation at {filename}...")
-        writer = imageio.get_writer(filename, fps=10)
+        try:
+            writer = imageio.get_writer(filename, fps=10)
+        except (ValueError, ImportError):
+            # No mp4 backend (ffmpeg/pyav): fall back to an animated GIF.
+            gif = Path(filename).with_suffix(".gif")
+            logging.log(
+                LOG_LEVELS["info"],
+                f"No mp4 backend available; writing {gif} instead",
+            )
+            try:
+                writer = imageio.get_writer(gif, fps=10)
+            except (ValueError, ImportError):
+                logging.log(
+                    LOG_LEVELS["info"],
+                    f"No animation backend at all; keeping frames in {temp_dir}",
+                )
+                return False
         for file in files:
             writer.append_data(imageio.imread(file))
         writer.close()
+        return True
 
     if isinstance(frame_files[0], list):  # multiple cameras
         per_camera = list(map(list, zip(*frame_files)))
         base = Path(animation_filename)
+        ok = True
         for idx, files in enumerate(per_camera):
             cfg = camera_config[idx] if isinstance(camera_config, list) else {}
             camera_id = cfg.get("name") or f"camera_{idx:02d}"
-            write(base.parent / f"{base.stem}_{camera_id}{base.suffix}", files)
+            ok = (
+                write(base.parent / f"{base.stem}_{camera_id}{base.suffix}", files)
+                and ok
+            )
         flat = [f for files in per_camera for f in files]
     else:
-        write(animation_filename, frame_files)
+        ok = write(animation_filename, frame_files)
         flat = frame_files
+    if not ok:  # keep the frames as the deliverable
+        return
 
     for file in flat:
         try:

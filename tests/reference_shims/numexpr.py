@@ -10,6 +10,10 @@ import sys
 
 import numpy as np
 
+# pandas probes optional accelerators by version; report one so its
+# import_optional_dependency check doesn't fail when this shim is loaded.
+__version__ = "2.10.1"
+
 _FUNCS = {
     "sqrt": np.sqrt,
     "abs": np.abs,

@@ -12,7 +12,7 @@ import numpy as np
 
 # pandas probes optional accelerators by version; report one so its
 # import_optional_dependency check doesn't fail when this shim is loaded.
-__version__ = "2.10.1"
+__version__ = "2.11.0"
 
 _FUNCS = {
     "sqrt": np.sqrt,

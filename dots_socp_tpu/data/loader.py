@@ -72,6 +72,21 @@ def load_example_file(
     return example_id, path_to_mesh_file, setting
 
 
+def _fallback_mu(area_v: np.ndarray, vertices: np.ndarray):
+    """Well-posed default densities: gaussian bumps at the two extremal
+    vertices along the widest coordinate axis."""
+    from dots_socp_tpu.models.density import gaussian
+
+    span = vertices.max(axis=0) - vertices.min(axis=0)
+    axis = int(np.argmax(span))
+    c0 = vertices[int(np.argmin(vertices[:, axis]))]
+    c1 = vertices[int(np.argmax(vertices[:, axis]))]
+    scale = (0.25 * float(span[axis])) ** 2
+    mu0 = area_v * gaussian(vertices, c0, scale)
+    mu1 = area_v * gaussian(vertices, c1, scale)
+    return mu0, mu1
+
+
 def _load_geometry(mesh_file, kwargs_generating_mesh):
     vertices, triangles, edges = read_mesh(
         mesh_file, kwargs_generating_mesh=kwargs_generating_mesh
@@ -100,9 +115,49 @@ def load_example(
     vertices, triangles, edges, area_triangles, area_v = _load_geometry(
         mesh_file, kwargs_generating_mesh
     )
-    mu0, mu1 = setting.get_mu(area_v, vertices)
-    mu0 = np.asarray(mu0, dtype=np.float64)
-    mu1 = np.asarray(mu1, dtype=np.float64)
+    from dots_socp_tpu.geometry.mesh_io import GeneratedMesh
+
+    is_surrogate = (
+        isinstance(mesh_file, GeneratedMesh) and mesh_file.surrogate_for is not None
+    )
+    try:
+        mu0, mu1 = setting.get_mu(area_v, vertices)
+        mu0 = np.asarray(mu0, dtype=np.float64)
+        mu1 = np.asarray(mu1, dtype=np.float64)
+        if mu0.shape != area_v.shape or mu1.shape != area_v.shape:
+            raise ValueError(
+                f"get_mu returned shapes {mu0.shape}/{mu1.shape} for "
+                f"{area_v.shape[0]} vertices"
+            )
+        degenerate = not (
+            np.isfinite(mu0).all()
+            and np.isfinite(mu1).all()
+            and mu0.sum() > 1e-12
+            and mu1.sum() > 1e-12
+        )
+        if degenerate and not is_surrogate:
+            raise ValueError(f"degenerate boundary densities for {example_id!r}")
+    except Exception as exc:
+        # On a surrogate mesh the example's densities may be tied to the real
+        # blob (vertex indices, measured data, coordinate frames); substitute
+        # a well-posed transport between two well-separated bumps so the
+        # example still runs end-to-end.
+        if not is_surrogate:
+            raise
+        warnings.warn(
+            f"Example {example_id!r}'s densities are undefined on the "
+            f"surrogate mesh ({exc}); substituting a gaussian pair at the "
+            f"surface's extremal points."
+        )
+        mu0, mu1 = _fallback_mu(area_v, vertices)
+        degenerate = False
+    if degenerate:
+        warnings.warn(
+            f"Example {example_id!r}'s densities are degenerate on the "
+            f"surrogate mesh; substituting a gaussian pair at the surface's "
+            f"extremal points."
+        )
+        mu0, mu1 = _fallback_mu(area_v, vertices)
     mu0 /= mu0.sum()
     mu1 /= mu1.sum()
 

@@ -9,16 +9,46 @@ from __future__ import annotations
 
 from importlib.util import module_from_spec, spec_from_file_location
 from pathlib import Path
+from typing import NamedTuple
 
 import numpy as np
 
 
+class GeneratedMesh(NamedTuple):
+    """A mesh produced by a named generator in `geometry.generators` instead
+    of a file. `surrogate_for` names the benchmark example this stands in
+    for when its .off blob is absent (None for first-class generated meshes
+    like plane)."""
+
+    generator: str
+    kwargs: dict
+    surrogate_for: str | None = None
+
+    def generate(self, user_kwargs: dict | None = None):
+        from dots_socp_tpu.geometry import generators
+
+        kwargs = dict(self.kwargs)
+        # plane-style size kwargs from the CLI override the defaults when
+        # the generator accepts them.
+        fn = getattr(generators, self.generator)
+        import inspect
+
+        accepted = set(inspect.signature(fn).parameters)
+        for key, val in (user_kwargs or {}).items():
+            if val is not None and key in accepted:
+                kwargs[key] = val
+        return fn(**kwargs)
+
+
 def read_mesh(name_file, kwargs_generating_mesh: dict | None = None):
-    """Load a mesh from an .off file or a .py generator module.
+    """Load a mesh from an .off file, a .py generator module, or a
+    `GeneratedMesh` spec.
 
     A generator module must define ``generate_mesh(**kwargs)`` returning
     (vertices, triangles, edges).
     """
+    if isinstance(name_file, GeneratedMesh):
+        return name_file.generate(kwargs_generating_mesh)
     path = Path(name_file)
     ext = path.suffix
     if ext == ".off":

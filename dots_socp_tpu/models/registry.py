@@ -50,12 +50,53 @@ EXAMPLE_NAMES = sorted(_EXAMPLES)
 # Examples whose mesh can be generated procedurally (no .off blob needed).
 _GENERATED = {"plane": "plane_generator.py"}
 
+# Procedural SURROGATE geometry per example, used (with a loud warning) when
+# the real .off blob is absent -- the reference ships its meshes as git-LFS
+# pointers, so a bare checkout cannot run any named example. Surrogates match
+# the real mesh's topology (sphere-like, torus, knot tube, height field) and
+# are sized so every vertex index referenced by the example's density
+# settings exists. Results are self-consistent, not comparable to the blobs.
+_SURROGATES = {
+    "airplane": ("generate_sphere_mesh", {"n_subdiv": 4}),
+    "refined_airplane": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    "armadillo": ("generate_sphere_mesh", {"n_subdiv": 4}),
+    "refined_armadillo": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    "bunny": ("generate_sphere_mesh", {"n_subdiv": 4}),
+    "refined_bunny": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    "hand": ("generate_sphere_mesh", {"n_subdiv": 4}),
+    "refined_hand": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    # face settings index vertices up to 4492.
+    "face": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    "refined_face": ("generate_sphere_mesh", {"n_subdiv": 5}),
+    # robot/audi density centers sit at radius ~1.39 in the blob's frame.
+    "robot": ("generate_sphere_mesh", {"n_subdiv": 4, "radius": 1.45}),
+    "audi": ("generate_sphere_mesh", {"n_subdiv": 4, "radius": 1.39}),
+    "sphere": ("generate_punctured_sphere_mesh", {"n_subdiv": 4}),
+    "punctured_ball": (
+        "generate_punctured_sphere_mesh",
+        {"n_subdiv": 4, "radius": 0.55, "center": (0.5, 0.5, 0.5)},
+    ),
+    "refined_punctured_ball": (
+        "generate_punctured_sphere_mesh",
+        {"n_subdiv": 5, "radius": 0.55, "center": (0.5, 0.5, 0.5)},
+    ),
+    "ring": ("generate_torus_mesh", {"n_u": 64, "n_v": 48}),
+    "eight": ("generate_torus_mesh", {"n_u": 64, "n_v": 48}),
+    "knots_3": ("generate_knot_mesh", {"p": 2, "q": 3}),
+    # knots_5 settings index vertices up to 2786.
+    "knots_5": ("generate_knot_mesh", {"p": 2, "q": 5, "n_u": 160, "n_v": 21}),
+    # hills settings index vertices up to 5982.
+    "hills": ("generate_hills_mesh", {"n": 80}),
+    "square_regular": ("generate_plane_mesh", {"n": 100}),
+}
+
 
 def match_example(name: str, is_pymesh: bool = False):
-    """Resolve an example name to (mesh_path, settings_module).
+    """Resolve an example name to (mesh_path_or_spec, settings_module).
 
     Generated meshes (plane) return the generator module path when
-    `is_pymesh` or when the .off blob is absent.
+    `is_pymesh` or when the .off blob is absent; other examples whose .off
+    blob is absent fall back to their procedural surrogate (warning).
     """
     mesh_dir = Path(PATHS["mesh_dir"])
 
@@ -67,6 +108,17 @@ def match_example(name: str, is_pymesh: bool = False):
             from dots_socp_tpu.geometry import generators
 
             mesh_path = Path(generators.__file__)
+        elif not mesh_path.exists() and name in _SURROGATES:
+            from dots_socp_tpu.geometry.mesh_io import GeneratedMesh
+
+            generator, kwargs = _SURROGATES[name]
+            warnings.warn(
+                f"Mesh file {mesh_path} is absent (the reference distributes "
+                f"its meshes via git-LFS); running {name!r} on a procedural "
+                f"SURROGATE ({generator}{kwargs}). Results are well-defined "
+                f"but not comparable to the published meshes."
+            )
+            return GeneratedMesh(generator, kwargs, surrogate_for=name), setting
         return mesh_path, setting
 
     # Dynamic fallback: any settings module shipped but not registered.

@@ -112,7 +112,7 @@ def solver_socp(
     max_dense_vertices=16384,
     cg_max_iters=200,
     cg_rtol=None,
-    max_chunk=64,
+    max_chunk=512,
     pad_multiple=None,
     mesh=None,
     snapshot_path=None,
@@ -129,7 +129,11 @@ def solver_socp(
         vertices, the matrix-free CG path beyond.
     max_chunk : int
         Upper bound on iterations dispatched per device call (bounds the
-        granularity of the time_limit check).
+        granularity of the time_limit check). Each dispatch pays one
+        host<->device round trip, which dominates when the device sits
+        behind a high-latency link; one device iteration is ~0.1 ms at
+        V~5k, so 512 iterations/dispatch keeps latency amortized while
+        still checking time_limit several times a minute.
     pad_multiple : int | None
         Pad vertex/triangle counts to this multiple (None: 8 on TPU for
         sublane alignment, or the mesh "space" axis size when sharding).

@@ -4,7 +4,7 @@ TPU-first replacements for the reference's SciPy sparse matrices
 (`surface_pre_computations_socp.py:42-132`, applied at
 `socp/solver_socp.py:898-921,1004-1025`):
 
-  * gradient  = gather of the 3 corner values + a tiny per-triangle einsum
+  * gradient  = gather of the 3 corner values + a 3-term VPU mul-sum
   * divergence / triangle->vertex maps = gather through a padded incidence
     table + masked sum (scatter-free, so the VPU stays dense)
   * cotan-Laplacian SpMV = div(area * grad), matrix-free (used by the CG
@@ -92,9 +92,15 @@ def grad_space(ops: SurfaceOps, phi):
     """P1 gradient: (..., V) -> (..., F, 3) tangent vectors per triangle.
 
     grad(phi)|_f = sum_k phi[tri[f,k]] * grad_basis[f,k].
+
+    Written as broadcast-multiply + 3-term sum rather than einsum: the
+    contraction axis is only 3 wide, and XLA lowers the einsum to a dilated
+    convolution that costs ~0.5 ms/iteration more than plain VPU work at
+    V~5k (and inherits the global HIGHEST matmul precision's multi-pass
+    cost for no accuracy gain -- the VPU sum is already full f32).
     """
     corners = vertex_gather(ops, phi)  # (..., F, 3corner)
-    return jnp.einsum("...fk,fkc->...fc", corners, ops.grad_basis)
+    return (corners[..., :, None] * ops.grad_basis).sum(axis=-2)
 
 
 def div_space(ops: SurfaceOps, m):
@@ -102,8 +108,9 @@ def div_space(ops: SurfaceOps, m):
     (..., F, 3) -> (..., V).
 
     div(m)[v] = -sum_{(f,k): tri[f,k]=v} <grad_basis[f,k], m[f]>.
+    (Same VPU mul-sum form as grad_space, for the same reason.)
     """
-    contrib = -jnp.einsum("...fc,fkc->...fk", m, ops.grad_basis)
+    contrib = -(m[..., None, :] * ops.grad_basis).sum(axis=-1)
     return vertex_reduce(ops, contrib)
 
 

@@ -151,6 +151,13 @@ class CGOperator(NamedTuple):
     null_row : (T+1,) 1.0 where the shifted system is singular (shift ~ 0)
     u_time   : (T+1, T+1) time eigenvectors
     av_unit  : (V,) av / sum(av), for deflating the constant null vector
+    s        : (V,) av^{-1/2} (generalized-eigenvector scaling)
+    defl_q   : (V, k) Ritz vectors of C = av^{-1/2} (-L) av^{-1/2}
+               (k = 0 disables the low-rank preconditioner term)
+    defl_winv: (T+1, k) masked 1 / (ritz_w_i - shift_a)
+    rtol     : () relative tolerance -- a TRACED scalar, so the host can
+               tighten it as the outer iALM error decreases (classic
+               inexact-ALM inner-tolerance scheduling) without recompiling
     """
 
     shifts: jnp.ndarray
@@ -158,34 +165,97 @@ class CGOperator(NamedTuple):
     null_row: jnp.ndarray
     u_time: jnp.ndarray
     av_unit: jnp.ndarray
+    s: jnp.ndarray
+    defl_q: jnp.ndarray
+    defl_winv: jnp.ndarray
+    rtol: jnp.ndarray
+
+
+def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
+    """Approximate the k smallest eigenpairs of C = av^{-1/2}(-L)av^{-1/2}
+    (host side, one-time): LOBPCG with Jacobi preconditioning, then a
+    Rayleigh-Ritz cleanup. Approximate accuracy suffices -- the pairs feed a
+    preconditioner, not a direct solve."""
+    import scipy.sparse as sp
+    from scipy.sparse.linalg import LinearOperator, lobpcg
+
+    v = av.shape[0]
+    k = int(min(k, max(v // 4, 1)))
+    if k <= 0:
+        return np.zeros((v, 0)), np.zeros(0)
+    s = 1.0 / np.sqrt(av)
+    c = -sp.csr_matrix(lap_space)
+    c = sp.diags(s) @ c @ sp.diags(s)
+    diag = np.maximum(c.diagonal(), 1e-30)
+    precond = LinearOperator((v, v), matvec=lambda x: x / diag)
+    rng = np.random.default_rng(seed)
+    x0 = rng.standard_normal((v, k))
+    x0[:, 0] = np.sqrt(av)  # known null vector of C
+    with np.errstate(all="ignore"):
+        try:
+            w, q = lobpcg(
+                c, x0, M=precond, largest=False, tol=1e-4, maxiter=128
+            )
+        except Exception:
+            return np.zeros((v, 0)), np.zeros(0)
+    # Rayleigh-Ritz: orthonormalize and re-diagonalize in the subspace.
+    q, _ = np.linalg.qr(q)
+    small = q.T @ (c @ q)
+    w, u = np.linalg.eigh(0.5 * (small + small.T))
+    return q @ u, np.maximum(w, 0.0)
 
 
 def build_cg_operator(
     n_time: int,
     stepsize_time: float,
     av: np.ndarray,
-    lap_diag: np.ndarray,
+    lap_space,
     eps: float = 0.0,
     dtype=jnp.float32,
+    deflation_k: int = 64,
+    rtol: float = 1e-6,
 ) -> CGOperator:
     """Set up the matrix-free CG solver for meshes too large to densify.
 
-    lap_diag : (V,) diagonal of the cotan Laplacian (negative).
+    lap_space : scipy sparse (V, V) cotan Laplacian (negative SD), used for
+        its diagonal and for the one-time Ritz-pair computation.
+    deflation_k : number of low-end Ritz pairs in the spectral
+        preconditioner (0 disables). The smallest generalized eigenvalues of
+        (-L, diag(av)) are shared by ALL T+1 shifted systems, so one
+        low-rank term accelerates the whole batch -- it is exactly the
+        ill-conditioned tail that plain Jacobi cannot see.
     """
     lap_time = build_time_laplacian(n_time, stepsize_time)
     lam_t, u_time = np.linalg.eigh(lap_time)
     av = np.asarray(av, dtype=np.float64)
+    lap_diag = np.asarray(
+        lap_space.diagonal() if hasattr(lap_space, "diagonal") else lap_space
+    )
     shifts = lam_t - eps  # (T+1,)
-    diag = -(np.asarray(lap_diag)[None, :] + shifts[:, None] * av[None, :])
+    diag = -(lap_diag[None, :] + shifts[:, None] * av[None, :])
     scale = np.abs(shifts).max() * av.max() + np.abs(lap_diag).max()
     null_row = (np.abs(shifts) * av.max() < 1e-10 * scale).astype(np.float64)
     jacobi = 1.0 / np.maximum(diag, 1e-30 * scale)
+
+    if deflation_k > 0 and hasattr(lap_space, "diagonal"):
+        q, w = _ritz_pairs(lap_space, av, deflation_k)
+    else:
+        q, w = np.zeros((av.shape[0], 0)), np.zeros(0)
+    denom = w[None, :] - shifts[:, None]  # (T+1, k), >= 0
+    tiny = 1e-10 * max(scale / max(av.max(), 1e-30), 1.0)
+    with np.errstate(divide="ignore"):
+        winv = np.where(np.abs(denom) > tiny, 1.0 / denom, 0.0)
+
     return CGOperator(
         shifts=jnp.asarray(shifts, dtype=dtype),
         jacobi=jnp.asarray(jacobi, dtype=dtype),
         null_row=jnp.asarray(null_row, dtype=dtype),
         u_time=jnp.asarray(u_time, dtype=dtype),
         av_unit=jnp.asarray(av / av.sum(), dtype=dtype),
+        s=jnp.asarray(1.0 / np.sqrt(av), dtype=dtype),
+        defl_q=jnp.asarray(q, dtype=dtype),
+        defl_winv=jnp.asarray(winv, dtype=dtype),
+        rtol=jnp.asarray(rtol, dtype=dtype),
     )
 
 
@@ -195,15 +265,28 @@ def cg_solve(
     rhs,
     x0=None,
     max_iters: int = 200,
-    rtol: float = 1e-8,
+    rtol=None,
 ):
-    """Batched Jacobi-preconditioned CG over the T+1 shifted SPD systems.
+    """Batched spectrally-preconditioned CG over the T+1 shifted SPD systems.
 
     Solves -(L_space + shift_a * diag(av)) x_a = -b_a for all time modes at
-    once (the whole batch shares each SpMV). Singular rows (Neumann null
-    space at shift = 0) are deflated by projecting out the constant.
-    Warm-startable via x0 (the previous iteration's time-transformed phi).
+    once (the whole batch shares each SpMV). The preconditioner is Jacobi
+    plus the low-rank spectral term built from the Ritz pairs of
+    (-L, diag(av)): with u_i = av^{-1/2} q_i, A_a u_i ~ (w_i - shift_a)
+    diag(av) u_i, so M^-1 = J^-1 + S Q diag(1/(w - shift_a)) Q^T S (SPD,
+    congruent form) collapses the slow low-frequency tail for every shift
+    at once; the two thin (T+1,V)x(V,k) GEMMs per iteration ride the MXU.
+
+    Singular rows (Neumann null space at shift = 0) are deflated by
+    projecting out the constant. Warm-startable via x0 (the previous outer
+    iteration's phi). `rtol=None` reads the traced `op.rtol`, which the
+    host adapts to the outer iALM error between dispatches.
     """
+    if rtol is None:
+        rtol = op.rtol
+    rtol = jnp.asarray(rtol, dtype=rhs.dtype)
+    has_deflation = op.defl_q.shape[-1] > 0
+
     b = op.u_time.T @ rhs  # to time-eigenbasis: (T+1, V)
 
     def deflate(v):
@@ -215,10 +298,17 @@ def cg_solve(
     def matvec(x):
         return -(laplacian_apply(ops, x) + op.shifts[:, None] * ops.av[None, :] * x)
 
+    def precond(r):
+        z = op.jacobi * r
+        if has_deflation:
+            coef = (op.s[None, :] * r) @ op.defl_q  # (T+1, k)
+            z = z + op.s[None, :] * ((coef * op.defl_winv) @ op.defl_q.T)
+        return z
+
     b = deflate(-b)
     x = jnp.zeros_like(b) if x0 is None else op.u_time.T @ x0
     r = b - matvec(x)
-    z = op.jacobi * r
+    z = precond(r)
     p = z
     rz = (r * z).sum(axis=1, keepdims=True)
     b_norm = (b * b).sum()
@@ -229,7 +319,7 @@ def cg_solve(
         alpha = rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        z = op.jacobi * r
+        z = precond(r)
         rz_new = (r * z).sum(axis=1, keepdims=True)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         p = z + beta * p

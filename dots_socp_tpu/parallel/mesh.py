@@ -115,6 +115,11 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
             null_row=rep,
             u_time=rep,
             av_unit=s("space"),
+            s=s("space"),
+            # Thin-GEMM contraction over V is local per space shard + psum.
+            defl_q=s("space", None),
+            defl_winv=rep,
+            rtol=rep,
         )
     return ProblemData(
         ops=ops,

@@ -90,6 +90,7 @@ def build_problem(
     max_dense_vertices: int = 16384,
     cg_max_iters: int = 200,
     cg_rtol: float = 1e-9,
+    cg_deflation_k: int = 64,
     dtype: str = "float32",
     pad_multiple: int = 1,
 ):
@@ -172,7 +173,14 @@ def build_problem(
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
         cg_op = build_cg_operator(
-            n_time, dt, av_p, lap.diagonal(), eps=eps, dtype=jdtype
+            n_time,
+            dt,
+            av_p,
+            lap,
+            eps=eps,
+            dtype=jdtype,
+            deflation_k=cg_deflation_k,
+            rtol=cg_rtol,
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")

@@ -112,6 +112,7 @@ def solver_socp(
     max_dense_vertices=16384,
     cg_max_iters=200,
     cg_rtol=None,
+    cg_deflation_k=64,
     max_chunk=512,
     pad_multiple=None,
     mesh=None,
@@ -127,6 +128,13 @@ def solver_socp(
     laplacian_mode : "auto" | "spectral" | "cg"
         auto selects the dense spectral factor up to `max_dense_vertices`
         vertices, the matrix-free CG path beyond.
+    cg_rtol : float | None
+        Inner relative tolerance for the CG phi-solve. None (default)
+        enables inexact-ALM scheduling: the tolerance starts loose and is
+        tightened to a fraction of the measured outer KKT error at every
+        validation point (a traced scalar -- no recompilation).
+    cg_deflation_k : int
+        Ritz pairs in the CG spectral preconditioner (0 disables).
     max_chunk : int
         Upper bound on iterations dispatched per device call (bounds the
         granularity of the time_limit check). Each dispatch pays one
@@ -192,6 +200,8 @@ def solver_socp(
     # accelerator; the finished pytrees transfer to the device once below.
     t_setup = time.perf_counter()
     cpu0 = jax.devices("cpu")[0]
+    cg_rtol_adaptive = cg_rtol is None
+    cg_rtol_floor = 1e-12 if precision == "float64" else 2e-6
     with jax.default_device(cpu0):
         config, data, extras = build_problem(
             n_time,
@@ -201,7 +211,8 @@ def solver_socp(
             laplacian_mode=laplacian_mode,
             max_dense_vertices=max_dense_vertices,
             cg_max_iters=cg_max_iters,
-            cg_rtol=cg_rtol if cg_rtol is not None else (1e-12 if precision == "float64" else 1e-7),
+            cg_rtol=cg_rtol if cg_rtol is not None else 1e-3,
+            cg_deflation_k=cg_deflation_k,
             dtype=precision,
             pad_multiple=pad_multiple,
         )
@@ -413,7 +424,7 @@ def solver_socp(
             is_org_kkt switch, sigma update). Mutates loop state.
             sigma_on_device: the adaptive segment already applied the sigma
             update in-dispatch; skip the host-side application."""
-            nonlocal passed, error, is_org_kkt, state
+            nonlocal passed, error, is_org_kkt, state, data
             passed = bool(np.all(org < tol))
             if check_kkt_step_by_step:
                 cost, lagrangian = map(
@@ -433,6 +444,18 @@ def solver_socp(
             error = _nanmax(org[KKT_STOP_CONDITION])
             if np.isfinite(error):
                 cadence.set_error_and_tolerance(error, tol)
+                # Inexact-ALM inner-tolerance scheduling: the CG phi-solve
+                # only needs to be as accurate as the current outer error.
+                # op.rtol is a traced leaf of `data`; no recompilation.
+                if cg_rtol_adaptive and config.laplacian_mode == "cg":
+                    new_rtol = float(
+                        np.clip(0.05 * min(error, 1.0), cg_rtol_floor, 1e-3)
+                    )
+                    data = data._replace(
+                        cg_op=data.cg_op._replace(
+                            rtol=np.asarray(new_rtol, dtype=config.np_dtype)
+                        )
+                    )
 
             if not whether_adjust or check_kkt_step_by_step:
                 newly = [

@@ -55,7 +55,7 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
         rhs,
         x0=state.phi,
         max_iters=config.cg_max_iters,
-        rtol=config.cg_rtol,
+        rtol=None,  # traced data.cg_op.rtol (host-adapted, no recompile)
     )
 
 

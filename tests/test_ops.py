@@ -241,7 +241,7 @@ def test_cg_solve_matches_spectral(mesh, ops):
     av = np.asarray(ops.av)
 
     factor = build_spectral_factor(T, dt, av, lap, eps=0.0, dtype=DT)
-    cg_op = build_cg_operator(T, dt, av, lap.diagonal(), eps=0.0, dtype=DT)
+    cg_op = build_cg_operator(T, dt, av, lap, eps=0.0, dtype=DT, deflation_k=16)
 
     rng = np.random.default_rng(11)
     rhs = rng.standard_normal((T + 1, vertices.shape[0]))

@@ -118,6 +118,18 @@ def test_cg_mode_matches_spectral(plane_geometry):
     np.testing.assert_allclose(sol_a["mu"], sol_b["mu"], atol=2e-6)
 
 
+def test_cg_adaptive_rtol_converges(plane_geometry):
+    """cg_rtol=None (inexact-ALM inner-tolerance scheduling) still drives
+    the outer KKT error to tolerance, with the deflated preconditioner."""
+    solution, history = solver_socp(
+        4, plane_geometry, nit=800, tol=1e-3, time_limit=180,
+        laplacian_mode="cg", cg_deflation_k=16,
+    )
+    assert np.all(history.get_current_kkt_errors() < 1e-3)
+    mass = (solution["mu"]).sum(axis=1)  # SOCP units: translated later
+    assert np.isfinite(solution["mu"]).all()
+
+
 def test_palm_mode_runs(plane_geometry):
     solution, history = solver(
         4, plane_geometry, nit=200, tol=1e-2, time_limit=120, is_palm=True

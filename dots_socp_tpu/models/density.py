@@ -11,8 +11,13 @@ import numpy as np
 
 
 def gaussian(vertices: np.ndarray, center, scale: float) -> np.ndarray:
-    """exp(-||v - c||^2 / scale) per vertex. vertices: (V, 3)."""
-    d2 = np.sum((vertices - np.asarray(center)) ** 2, axis=-1)
+    """exp(-||v - c||^2 / scale) per vertex. vertices: (V, 3).
+
+    The squared distance is computed as norm-then-square (not a direct sum
+    of squares) so results are bit-identical to the reference's
+    `data/util.py:6` — exp() amplifies the last-ulp difference otherwise.
+    """
+    d2 = np.linalg.norm(vertices - np.asarray(center), axis=-1) ** 2
     return np.exp(-d2 / scale)
 
 

@@ -2,8 +2,9 @@
 
 Each module defines ``get_mu(area_vertices, vertices) -> (mu0, mu1)``
 (vectorized); `plane` additionally defines ``get_exact_transportation``.
-Density formulas match the reference's `data/settings/*.py` so solutions
-are directly comparable.
+Density formulas match the reference's `data/settings/*.py` under the same
+names; `tests/test_examples_golden.py` asserts per-example parity against
+the reference settings modules, so solutions are directly comparable.
 """
 
 from dots_socp_tpu.models.examples import (
@@ -11,6 +12,7 @@ from dots_socp_tpu.models.examples import (
     armadillo,
     audi,
     bunny,
+    default,
     eight,
     face,
     hand,
@@ -32,7 +34,7 @@ from dots_socp_tpu.models.examples import (
 )
 
 __all__ = [
-    "airplane", "armadillo", "audi", "bunny", "eight", "face", "hand",
+    "airplane", "armadillo", "audi", "bunny", "default", "eight", "face", "hand",
     "hills", "knots_3", "knots_5", "plane", "punctured_ball",
     "refined_airplane", "refined_armadillo", "refined_bunny", "refined_face",
     "refined_hand", "refined_punctured_ball", "ring", "robot", "sphere",

@@ -1,16 +1,21 @@
-"""Audi: one box corner to two split boxes (ref data/settings/audi.py)."""
+"""Audi: one box source on the body to three split box sinks
+(ref data/settings/audi.py:1-37)."""
 from dots_socp_tpu.models.density import cut_off
 
 
 def get_mu(area_vertices, vertices):
     x, y, z = vertices[:, 0], vertices[:, 1], vertices[:, 2]
+    band = cut_off(y + 0.9, 0.1)
     mu0 = (
         area_vertices
-        * cut_off(x + 0.2626, 0.01)
-        * cut_off(y + 0.9108, 0.1012)
+        * cut_off(x + 0.357, 0.007)
+        * band
+        * cut_off(-z + 0.02748, 0.00422)
     )
-    band = cut_off(-x + 0.9696, 0.0202) * cut_off(y + 0.9108, 0.1012)
+    rear = cut_off(-x + 0.715, 0.0143)
     mu1 = area_vertices * band * (
-        cut_off(z + 0.3371, 0.0337) + cut_off(z + 0.4383, 0.0337)
+        rear * cut_off(z + 0.2389, 0.02114)
+        + rear * cut_off(-z + 0.3023, 0.02114)
+        + cut_off(-x + 0.286, 0.0143) * cut_off(z + 1.0844, 0.02114)
     )
     return mu0, mu1

@@ -1,4 +1,5 @@
-"""Robot: cutoffs along x then y (ref data/settings/robot.py:1-13)."""
+"""Default densities for unspecified settings: cutoffs along x then y
+(ref data/settings/default.py:1-13; same formula as robot)."""
 from dots_socp_tpu.models.density import cut_off
 
 

@@ -21,8 +21,8 @@ def get_mu(area_vertices, vertices):
     )
     mu0 = area_vertices * np.where(gamma >= -0.1, patch, 0.0)
 
-    d0 = np.sum((vertices - center0) ** 2, axis=1)
-    d1 = np.sum((vertices - center1) ** 2, axis=1)
+    d0 = np.linalg.norm(vertices - center0, axis=1) ** 2
+    d1 = np.linalg.norm(vertices - center1, axis=1) ** 2
     mu1 = area_vertices * (
         np.exp(-d0 / length_scale**2) + np.exp(-d1 / length_scale**2)
     )

@@ -1,19 +1,19 @@
-"""Trefoil knot: one box source to three box sinks (ref data/settings/knots_3.py)."""
-from dots_socp_tpu.models.density import cut_off
+"""Trefoil knot: one masked gaussian source to two masked gaussian sinks
+at fixed world-space centers (ref data/settings/knots_3.py:1-21)."""
+import numpy as np
+
+from dots_socp_tpu.models.density import gaussian, radial_mask
 
 
 def get_mu(area_vertices, vertices):
-    x, y, z = vertices[:, 0], vertices[:, 1], vertices[:, 2]
-    mu0 = (
-        area_vertices
-        * cut_off(x + 0.357, 0.007)
-        * cut_off(y + 0.9, 0.1)
-        * cut_off(-z + 0.02748, 0.00422)
+    center0 = np.array([0.0888, 1.282, 0.512])
+    center11 = np.array([-1.035, -1.087, 0.300])
+    center12 = np.array([1.212, -0.594, 0.455])
+    mu0 = area_vertices * radial_mask(vertices, center0, 0.5) * gaussian(
+        vertices, center0, 0.3
     )
-    band = cut_off(y + 0.9, 0.1)
-    mu1 = area_vertices * band * (
-        cut_off(-x + 0.715, 0.0143) * cut_off(z + 0.2389, 0.02114)
-        + cut_off(-x + 0.715, 0.0143) * cut_off(-z + 0.3023, 0.02114)
-        + cut_off(-x + 0.286, 0.0143) * cut_off(z + 1.0844, 0.02114)
+    mu1 = area_vertices * (
+        radial_mask(vertices, center11, 0.3) * gaussian(vertices, center11, 0.3)
+        + radial_mask(vertices, center12, 0.3) * gaussian(vertices, center12, 0.3)
     )
     return mu0, mu1

@@ -26,7 +26,9 @@ def get_exact_transportation(t_array, vertices, area_vertices):
     center_t = (1 - np.asarray(t_array))[:, None] * CENTER0 + np.asarray(t_array)[
         :, None
     ] * CENTER1  # (T, 3)
-    d2 = np.sum(
-        (vertices[None, :, :] - center_t[:, None, :]) ** 2, axis=-1
-    )  # (T, V)
+    d2 = (
+        np.linalg.norm(vertices[None, :, :] - center_t[:, None, :], axis=-1)
+        ** 2
+    )  # (T, V); norm-then-square for bit parity with data/util.py:6
+
     return area_vertices[None, :] * np.exp(-d2 / sigma_t)

@@ -21,7 +21,6 @@ def get_mu(area_vertices, vertices):
 
     mu1 = np.zeros(vertices.shape[0])
     for c in centers:
-        mu1 += area_vertices * np.exp(
-            -np.sum((vertices - c) ** 2, axis=1) / length_scale**2
-        )
+        d2 = np.linalg.norm(vertices - c, axis=1) ** 2
+        mu1 += area_vertices * np.exp(-d2 / length_scale**2)
     return mu0, mu1

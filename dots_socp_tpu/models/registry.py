@@ -52,10 +52,11 @@ _GENERATED = {"plane": "plane_generator.py"}
 
 # Procedural SURROGATE geometry per example, used (with a loud warning) when
 # the real .off blob is absent -- the reference ships its meshes as git-LFS
-# pointers, so a bare checkout cannot run any named example. Surrogates match
-# the real mesh's topology (sphere-like, torus, knot tube, height field) and
-# are sized so every vertex index referenced by the example's density
-# settings exists. Results are self-consistent, not comparable to the blobs.
+# pointers, so a bare checkout cannot run any named example. Surrogates
+# approximate the real mesh's topology (sphere-like, torus, knot tube, height
+# field; 'eight' is genus-2 but gets a genus-1 torus) and are sized so every
+# vertex index referenced by the example's density settings exists. Results
+# are self-consistent, not comparable to the blobs.
 _SURROGATES = {
     "airplane": ("generate_sphere_mesh", {"n_subdiv": 4}),
     "refined_airplane": ("generate_sphere_mesh", {"n_subdiv": 5}),
@@ -68,8 +69,8 @@ _SURROGATES = {
     # face settings index vertices up to 4492.
     "face": ("generate_sphere_mesh", {"n_subdiv": 5}),
     "refined_face": ("generate_sphere_mesh", {"n_subdiv": 5}),
-    # robot/audi density centers sit at radius ~1.39 in the blob's frame.
-    "robot": ("generate_sphere_mesh", {"n_subdiv": 4, "radius": 1.45}),
+    "robot": ("generate_sphere_mesh", {"n_subdiv": 4}),
+    # audi's density boxes sit at radius ~1.0-1.4 in the blob's frame.
     "audi": ("generate_sphere_mesh", {"n_subdiv": 4, "radius": 1.39}),
     "sphere": ("generate_punctured_sphere_mesh", {"n_subdiv": 4}),
     "punctured_ball": (
@@ -85,8 +86,8 @@ _SURROGATES = {
     "knots_3": ("generate_knot_mesh", {"p": 2, "q": 3}),
     # knots_5 settings index vertices up to 2786.
     "knots_5": ("generate_knot_mesh", {"p": 2, "q": 5, "n_u": 160, "n_v": 21}),
-    # hills settings index vertices up to 5982.
-    "hills": ("generate_hills_mesh", {"n": 80}),
+    # hills settings index vertices up to 9505; n=100 gives V=11716.
+    "hills": ("generate_hills_mesh", {"n": 100}),
     "square_regular": ("generate_plane_mesh", {"n": 100}),
 }
 

@@ -58,12 +58,12 @@ def bench_tpu():
     t0 = time.perf_counter()
     state = run_chunk(config, data, state, np.int32(BENCH_ITERS))
     jax.block_until_ready(state.phi)
-    elapsed = time.perf_counter() - t0
-    elapsed = max(elapsed - dispatch_overhead, 1e-9)
+    raw_elapsed = time.perf_counter() - t0
+    elapsed = max(raw_elapsed - dispatch_overhead, 1e-9)
 
     kkt = np.asarray(compute_kkt(config, data, state))
     assert np.all(np.isfinite(kkt[:, 0])), f"bench run diverged: {kkt}"
-    return BENCH_ITERS / elapsed, config
+    return BENCH_ITERS / elapsed, BENCH_ITERS / raw_elapsed, config
 
 
 def bench_reference_cpu():
@@ -87,17 +87,26 @@ def bench_reference_cpu():
             example_name="plane", kwargs_generating_mesh={"n": N_SPACE}
         )
         geometry, _ = normalize_geometry(geometry)
-        t0 = time.perf_counter()
-        ref_solver(
-            N_TIME,
-            geometry,
-            nit=REF_ITERS,
-            tol=1e-14,
-            time_limit=600,
-            is_multi_threads=False,
-        )
-        elapsed = time.perf_counter() - t0
-        return REF_ITERS / elapsed
+
+        # Symmetric methodology with bench_tpu (which subtracts the fixed
+        # per-dispatch latency): difference two runs at nit=2 and
+        # nit=2+REF_ITERS so the reference's one-time setup (factorizations,
+        # weight assembly) cancels and only the per-iteration loop remains.
+        def run(nit):
+            t0 = time.perf_counter()
+            ref_solver(
+                N_TIME,
+                geometry,
+                nit=nit,
+                tol=1e-14,
+                time_limit=600,
+                is_multi_threads=False,
+            )
+            return time.perf_counter() - t0
+
+        t_short = run(2)
+        t_long = run(2 + REF_ITERS)
+        return REF_ITERS / max(t_long - t_short, 1e-9)
     except Exception:
         return None
 
@@ -106,7 +115,7 @@ def main():
     cache_dir = "/tmp/jax_cache_dots_socp_bench"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
 
-    iters_per_sec, config = bench_tpu()
+    iters_per_sec, raw_iters_per_sec, config = bench_tpu()
 
     ref_file = Path(__file__).parent / ".bench_reference_cpu.json"
     if ref_file.exists():
@@ -129,6 +138,14 @@ def main():
                 "unit": "iter/s",
                 "vs_baseline": round(vs_baseline, 3)
                 if vs_baseline == vs_baseline
+                else None,
+                # Methodology: both sides exclude one-time setup. TPU
+                # subtracts the measured per-dispatch link latency; the
+                # reference is differenced between nit=2 and nit=14 runs.
+                # raw = wall-clock including the dispatch round trip.
+                "raw_iters_per_sec": round(raw_iters_per_sec, 3),
+                "reference_iters_per_sec": round(ref_iters_per_sec, 4)
+                if ref_iters_per_sec
                 else None,
             }
         )

@@ -41,7 +41,13 @@ def project_soc(ops: SurfaceOps, to_fst, to_mid, to_end):
     norm_sq = vertex_reduce(ops, sq) + to_end * to_end
     norm = jnp.sqrt(norm_sq)
 
-    lam = jnp.clip(0.5 * (1.0 + to_fst / norm), 0.0, 1.0)
+    # Zero-norm guard: for a zero tail the correct projection is the
+    # identity when to_fst >= 0 and the origin when to_fst < 0; flooring
+    # the norm at the smallest normal float makes the lam formula produce
+    # exactly that (clip saturates) instead of 0/0 = NaN poisoning the
+    # state. (The reference shares this hazard; we fix it.)
+    safe_norm = jnp.maximum(norm, jnp.finfo(norm.dtype).tiny)
+    lam = jnp.clip(0.5 * (1.0 + to_fst / safe_norm), 0.0, 1.0)
     inside = lam >= 1.0  # point already inside the cone: identity
 
     z_fst = jnp.where(inside, to_fst, lam * norm)

@@ -191,18 +191,26 @@ def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
     rng = np.random.default_rng(seed)
     x0 = rng.standard_normal((v, k))
     x0[:, 0] = np.sqrt(av)  # known null vector of C
+    # The whole pipeline is best-effort: LOBPCG may fail outright, or return
+    # NaN/non-converged vectors that crash the QR / Rayleigh-Ritz cleanup.
+    # Any failure degrades to Jacobi-only preconditioning (empty deflation).
     with np.errstate(all="ignore"):
         try:
             w, q = lobpcg(
                 c, x0, M=precond, largest=False, tol=1e-4, maxiter=128
             )
+            if not np.isfinite(q).all():
+                return np.zeros((v, 0)), np.zeros(0)
+            # Rayleigh-Ritz: orthonormalize, re-diagonalize in the subspace.
+            q, _ = np.linalg.qr(q)
+            small = q.T @ (c @ q)
+            w, u = np.linalg.eigh(0.5 * (small + small.T))
         except Exception:
             return np.zeros((v, 0)), np.zeros(0)
-    # Rayleigh-Ritz: orthonormalize and re-diagonalize in the subspace.
-    q, _ = np.linalg.qr(q)
-    small = q.T @ (c @ q)
-    w, u = np.linalg.eigh(0.5 * (small + small.T))
-    return q @ u, np.maximum(w, 0.0)
+    q, w = q @ u, np.maximum(w, 0.0)
+    if not (np.isfinite(q).all() and np.isfinite(w).all()):
+        return np.zeros((v, 0)), np.zeros(0)
+    return q, w
 
 
 def build_cg_operator(
@@ -245,6 +253,18 @@ def build_cg_operator(
     tiny = 1e-10 * max(scale / max(av.max(), 1e-30), 1.0)
     with np.errstate(divide="ignore"):
         winv = np.where(np.abs(denom) > tiny, 1.0 / denom, 0.0)
+    if q.shape[1] > 0:
+        # On the singular (shift ~ 0) rows, the Ritz pair aligned with the
+        # known null vector sqrt(av) must contribute nothing: LOBPCG's
+        # tol=1e-4 can leave its Ritz value w0 above `tiny`, making 1/w0
+        # huge and injecting f32-amplified noise along the null direction.
+        # Zero it by alignment, not by the absolute threshold.
+        v0 = np.sqrt(av)
+        v0 /= np.linalg.norm(v0)
+        null_aligned = np.abs(q.T @ v0) > 0.5  # (k,)
+        winv = np.where(
+            null_row.astype(bool)[:, None] & null_aligned[None, :], 0.0, winv
+        )
 
     return CGOperator(
         shifts=jnp.asarray(shifts, dtype=dtype),

@@ -195,6 +195,27 @@ def test_soc_projection_idempotent(ops):
     np.testing.assert_allclose(np.asarray(z2[2]), np.asarray(z1[2]), atol=1e-10)
 
 
+def test_soc_projection_zero_tail_no_nan(ops):
+    """An all-zero cone tail must not produce NaN (0/0 in the lam formula):
+    projecting (s, 0) gives (s, 0) for s >= 0 and the origin for s < 0."""
+    V = ops.av.shape[0]
+    F = ops.area_f.shape[0]
+    T = 2
+    to_fst = jnp.zeros((T, V))
+    # Mix of positive / zero / negative heads on the zero tail.
+    to_fst = to_fst.at[0, ::3].set(1.5).at[1, ::2].set(-2.0)
+    to_mid = jnp.zeros((T, 2, F, 3, 3))
+    to_end = jnp.zeros((T, V))
+
+    z_fst, z_mid, z_end = map(
+        np.asarray, project_soc(ops, to_fst, to_mid, to_end)
+    )
+    assert np.isfinite(z_fst).all() and np.isfinite(z_mid).all()
+    assert np.isfinite(z_end).all()
+    np.testing.assert_array_equal(z_fst, np.maximum(np.asarray(to_fst), 0.0))
+    assert not z_mid.any() and not z_end.any()
+
+
 def test_time_laplacian_eigen():
     T = 9
     dt = 1.0 / T

@@ -126,8 +126,11 @@ def test_cg_adaptive_rtol_converges(plane_geometry):
         laplacian_mode="cg", cg_deflation_k=16,
     )
     assert np.all(history.get_current_kkt_errors() < 1e-3)
-    mass = (solution["mu"]).sum(axis=1)  # SOCP units: translated later
     assert np.isfinite(solution["mu"]).all()
+    # Mass conservation in DOT units: SOCP mu times area_vertices / 3.
+    av = np.asarray(plane_geometry["area_vertices"])
+    masses = (np.asarray(solution["mu"]) * av[None, :] / 3.0).sum(axis=1)
+    np.testing.assert_allclose(masses, 1.0, atol=5e-3)
 
 
 def test_palm_mode_runs(plane_geometry):

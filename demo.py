@@ -18,10 +18,12 @@ DEFAULT_ITERATIONS = 1000
 
 def parse_args():
     parser = parse_args_socp(return_parser=True)
-    parser._option_string_actions["--example"].default = DEFAULT_EXAMPLE
-    parser._option_string_actions["--tol"].default = DEFAULT_TOL
-    parser._option_string_actions["--nit"].default = DEFAULT_ITERATIONS
-    parser._option_string_actions["--n_space"].default = 50
+    parser.set_defaults(
+        example=DEFAULT_EXAMPLE,
+        tol=DEFAULT_TOL,
+        nit=DEFAULT_ITERATIONS,
+        n_space=50,
+    )
     return parser.parse_args()
 
 

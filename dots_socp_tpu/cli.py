@@ -34,33 +34,34 @@ def parse_args(parser=None, return_parser=False):
     """Build (and optionally return) the argument parser."""
     if parser is None:
         parser = argparse.ArgumentParser(
-            description="Animate DOT-Surface transmission process."
+            description="Solve dynamic optimal transport on a triangulated surface and animate the transported density."
         )
 
     example_group = parser.add_argument_group(
         "Example configuration",
-        "Configure example via predefined set (--example) or custom files "
-        "(--mesh_file, --setting_file)",
+        "Pick a built-in problem with --example, or supply your own mesh and "
+        "density settings with --mesh_file/--setting_file.",
     )
     example_group.add_argument(
         "--example",
         default=None,
         type=str,
-        help="Predefined example name (airplane, armadillo, hand, "
-        "punctured_ball, bunny, sphere, ring, knots_3, knots_5, hills, "
-        "plane, refined_* ...)",
+        help="Name of a built-in problem (plane, airplane, armadillo, hand, "
+        "bunny, sphere, ring, punctured_ball, knots_3, knots_5, hills, "
+        "robot, eight, face, audi, square_regular, and their refined_* "
+        "variants)",
     )
     example_group.add_argument(
-        "--mesh_file", default=None, type=str, help="Input mesh file path (.off)"
+        "--mesh_file", default=None, type=str, help="Path to a surface mesh in .off format"
     )
     example_group.add_argument(
-        "--setting_file", default=None, type=str, help="Input settings file path (.py)"
+        "--setting_file", default=None, type=str, help="Path to a density-settings module (.py defining get_mu)"
     )
     example_group.add_argument(
-        "--congestion", default=0.0, type=float, help="Congestion factor (default: 0.0)"
+        "--congestion", default=0.0, type=float, help="Congestion penalty weight; 0 disables the congestion term"
     )
     example_group.add_argument(
-        "--ntime", default=31, type=int, help="Time discretization points"
+        "--ntime", default=31, type=int, help="Number of time steps on the staggered grid"
     )
 
     algo_group = parser.add_argument_group("Algorithm parameters")
@@ -69,23 +70,23 @@ def parse_args(parser=None, return_parser=False):
         type=float,
         default=None,
         action=CheckArgsRangeTau,
-        help="Step size value (range: 0.0-2.0)",
+        help="Over-relaxation step size for the multiplier ascent, in (0, 2)",
     )
-    algo_group.add_argument("--nit", default=10**3, type=int, help="Maximum iterations")
+    algo_group.add_argument("--nit", default=10**3, type=int, help="Iteration cap for the iALM loop")
     algo_group.add_argument(
         "--eps",
         default=0.0,
         type=float,
-        help="Epsilon value for proximal item in the phi step",
+        help="Proximal regularization added to the phi-step Laplacian",
     )
     algo_group.add_argument(
-        "--tol", default=10 ** (-3), type=float, help="Convergence tolerance"
+        "--tol", default=10 ** (-3), type=float, help="Relative KKT error at which the solve stops"
     )
     algo_group.add_argument(
         "--time_limit",
         default=np_inf,
         type=float,
-        help="Time limit in seconds (default: no limit)",
+        help="Abort after this many seconds, returning the best iterate",
     )
     algo_group.add_argument(
         "--precision",
@@ -104,58 +105,58 @@ def parse_args(parser=None, return_parser=False):
 
     output_group = parser.add_argument_group("Output options")
     output_group.add_argument(
-        "--show", default=False, action="store_true", help="Display animation"
+        "--show", default=False, action="store_true", help="Open an interactive window with the density animation"
     )
     output_group.add_argument(
-        "--save", default=False, action="store_true", help="Save animation"
+        "--save", default=False, action="store_true", help="Write the density animation to the output directory"
     )
     output_group.add_argument(
-        "--cmap", default=None, type=str, help="Matplotlib colormap for animation"
+        "--cmap", default=None, type=str, help="Colormap name used when rendering the density"
     )
     output_group.add_argument(
         "--power_perceptual",
         default=1.0,
         type=float,
         action=CheckArgsPowerPerceptual,
-        help="Power perceptual for colormap (default: 1.0)",
+        help="Exponent applied to densities before coloring (1.0 = linear)",
     )
     output_group.add_argument(
         "--detail_runhist",
         default=False,
         action="store_true",
-        help="Compute detailed running history (may take longer time)",
+        help="Validate KKT and record the objective every iteration (slow)",
     )
     output_group.add_argument(
         "--show_kkt_it",
         "--show_kkt",
         default=False,
         action="store_true",
-        help="Display KKT history vs iterations",
+        help="Plot the KKT residuals against the iteration count",
     )
     output_group.add_argument(
         "--save_kkt_it",
         "--save_kkt",
         default=False,
         action="store_true",
-        help="Save KKT history vs iterations plot",
+        help="Write the KKT-vs-iteration plot to the output directory",
     )
     output_group.add_argument(
         "--show_kkt_time",
         default=False,
         action="store_true",
-        help="Display KKT history vs time",
+        help="Plot the KKT residuals against wall-clock time",
     )
     output_group.add_argument(
         "--save_kkt_time",
         default=False,
         action="store_true",
-        help="Save KKT history vs time plot",
+        help="Write the KKT-vs-time plot to the output directory",
     )
     output_group.add_argument(
-        "-o", "--outdir", default="output/undated", type=str, help="Output directory"
+        "-o", "--outdir", default="output/undated", type=str, help="Directory for saved animations, plots and tables"
     )
     output_group.add_argument(
-        "--log_file", default=None, type=str, help="Log file path"
+        "--log_file", default=None, type=str, help="Also tee the log to this file (log2table input)"
     )
 
     exp_group = parser.add_argument_group("Experimental features")
@@ -164,27 +165,29 @@ def parse_args(parser=None, return_parser=False):
         type=str,
         choices=["debug", "kkt", "scaling", "info"],
         default="info",
-        help="Log level: debug=all, kkt=KKT details, scaling=scaling info, "
-        "info=convergence",
+        help="Verbosity: info < scaling < kkt < debug (each adds detail)",
     )
     exp_group.add_argument(
         "--versus_exact",
         default=False,
         action="store_true",
-        help="Compare with exact transportation (requires setting support)",
+        help="After solving, measure errors against the closed-form transport "
+        "(settings module must define get_exact_transportation)",
     )
     exp_group.add_argument(
         "--checkpoints",
         default=None,
         nargs="+",
         type=float,
-        help="Checkpoints for saving intermediate results (for --versus_exact)",
+        help="KKT levels at which intermediate solutions are snapshotted for "
+        "the --versus_exact error table",
     )
     exp_group.add_argument(
         "--n_space",
         type=int,
         default=None,
-        help="Spatial grid points for generated meshes (plane)",
+        help="Resolution parameter n for procedurally generated meshes "
+        "(e.g. the plane example)",
     )
     exp_group.add_argument(
         "--snapshot",

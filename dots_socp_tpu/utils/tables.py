@@ -1,7 +1,9 @@
 """Table export: checkpoint-error tables to .tex/.html/.csv/.xlsx.
 
-Parity with reference `utils/file_process.py:6-77` (same column set, labels
-and cell formats, so replication tables are directly comparable).
+The *output contract* matches reference `utils/file_process.py:6-77` — same
+column labels, order and cell formats, so replication tables are directly
+comparable. Structure here is a declarative column spec driving a single
+writer-dispatch table.
 """
 
 from __future__ import annotations
@@ -10,46 +12,51 @@ from pathlib import Path
 
 from pandas import DataFrame
 
+# (header label, checkpoint accessor, cell formatter) — row order below is
+# the exported column order.
+_COLUMNS = (
+    ("L1", lambda cp: cp["error"]["l1"], "{:.2e}".format),
+    ("L2", lambda cp: cp["error"]["l2"], "{:.2e}".format),
+    ("L-Inf", lambda cp: cp["error"]["linf"], "{:.2e}".format),
+    ("KKT", lambda cp: cp["kkt_error"], "{:.2e}".format),
+    ("Iteration", lambda cp: cp["iteration"], lambda v: v),
+    ("Time (s)", lambda cp: cp["time"], "{:.2f}".format),
+)
+
 
 def export_table_from_checkpoints_error(error_checkpoints, out: str):
-    """Render the versus-exact checkpoint errors as a table file."""
-    data = [
-        {
-            "iteration": cp["iteration"],
-            "time": cp["time"],
-            "kkt_error": cp["kkt_error"],
-            "l1_error": cp["error"]["l1"],
-            "l2_error": cp["error"]["l2"],
-            "linf_error": cp["error"]["linf"],
-        }
-        for cp in error_checkpoints
-    ]
-    df = DataFrame(data).sort_values("iteration")
-    err_cols = ["l1_error", "l2_error", "linf_error", "kkt_error"]
-    df[err_cols] = df[err_cols].map(lambda x: f"{x:.2e}")
-    df["time"] = df["time"].map(lambda x: f"{x:.2f}")
-    df = df[["l1_error", "l2_error", "linf_error", "kkt_error", "iteration", "time"]]
-    df.columns = ["L1", "L2", "L-Inf", "KKT", "Iteration", "Time (s)"]
+    """Render the versus-exact checkpoint errors as a table file.
 
+    error_checkpoints : list of CheckpointsErrorData dicts
+        (see `utils.types`); rows are emitted in iteration order.
+    """
+    ordered = sorted(error_checkpoints, key=lambda cp: cp["iteration"])
+    columns = {
+        label: [fmt(get(cp)) for cp in ordered] for label, get, fmt in _COLUMNS
+    }
     Path(out).parent.mkdir(parents=True, exist_ok=True)
-    export_table(df, out_path=out)
+    export_table(DataFrame(columns), out_path=out)
+
+
+def _to_excel(df: DataFrame, path: Path):
+    # pandas cannot write MultiIndex columns without a row index.
+    df.to_excel(path, index=df.columns.nlevels > 1)
+
+
+_WRITERS = {
+    ".tex": lambda df, path: df.to_latex(path, index=False, index_names=False),
+    ".html": lambda df, path: df.to_html(path, index=False, index_names=False),
+    ".csv": lambda df, path: df.to_csv(path, index=False),
+    ".xlsx": _to_excel,
+}
 
 
 def export_table(dataframe: DataFrame, out_path: str):
+    """Write a DataFrame to the format implied by the file extension."""
     out_path = Path(out_path)
-    ext = out_path.suffix
-    opts = {"index": False}
-    if ext == ".tex":
-        dataframe.to_latex(out_path, index_names=False, **opts)
-    elif ext == ".html":
-        dataframe.to_html(out_path, index_names=False, **opts)
-    elif ext == ".csv":
-        dataframe.to_csv(out_path, **opts)
-    elif ext == ".xlsx":
-        if dataframe.columns.nlevels > 1:
-            opts["index"] = True
-        dataframe.to_excel(out_path, **opts)
-    else:
-        print(f"Unsupported file format: {ext}")
+    writer = _WRITERS.get(out_path.suffix)
+    if writer is None:
+        print(f"Unsupported file format: {out_path.suffix}")
         return
+    writer(dataframe, out_path)
     print(f"Exported table: {out_path}")

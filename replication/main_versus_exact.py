@@ -1,10 +1,9 @@
 """Accuracy replication: solve and compare against the exact transport at
-order-of-magnitude KKT checkpoints (equivalent of the reference's
+order-of-magnitude KKT checkpoints (same experiment as the reference's
 `replication/main_versus_exact.py`, driven by `make true_error`).
 """
 
 import sys
-from math import log
 from pathlib import Path
 
 root_of_import = Path(__file__).parent.parent
@@ -19,27 +18,37 @@ from dots_socp_tpu import (  # noqa: E402
 )
 from dots_socp_tpu.solver import solver as dot_solver  # noqa: E402
 
+# Examples whose settings module defines get_exact_transportation.
+EXACT_EXAMPLES = ("plane",)
+
 
 def parse_args(return_parser=False):
+    """The package CLI, re-defaulted for the versus-exact experiment."""
     parser = parse_args_socp(return_parser=True)
-    # Only examples defining an exact transport qualify.
-    parser._option_string_actions["--example"].choices = ["plane"]
-    parser._option_string_actions["--example"].help = (
-        "Example to solve (must define get_exact_transportation)."
-    )
-    parser._actions = [a for a in parser._actions if a.dest != "versus_exact"]
-    parser._option_string_actions.pop("--versus_exact", None)
-    parser._option_string_actions["--outdir"].default = "output/undated_versus_exact"
+    parser.set_defaults(outdir="output/undated_versus_exact", versus_exact=True)
     if return_parser:
         return parser
-    return parser.parse_args()
+    args = parser.parse_args()
+    args.versus_exact = True  # this script IS the versus-exact flow
+    if args.example is not None and args.example not in EXACT_EXAMPLES:
+        parser.error(
+            f"--example must define an exact transport (one of {EXACT_EXAMPLES})"
+        )
+    return args
 
 
 def automatic_checkpoints(tol: float):
-    """[1e-1, 1e-2, ..., tol]: one checkpoint per order of magnitude."""
-    raw = -log(tol, 10)
-    exponents = int(round(raw, 12) if abs(raw - round(raw)) < 1e-12 else raw)
-    return [10 ** (-i - 1) for i in range(exponents)]
+    """One checkpoint per order of magnitude: [1e-1, 1e-2, ..., down to tol].
+
+    Decades strictly between tol and 1 are included; tol itself is included
+    when it sits on a decade (up to float fuzz).
+    """
+    checkpoints = []
+    exponent = 1
+    while 10.0 ** (-exponent) >= tol * (1.0 - 1e-9):
+        checkpoints.append(10.0 ** (-exponent))
+        exponent += 1
+    return checkpoints
 
 
 if __name__ == "__main__":

@@ -1,7 +1,23 @@
 """Interface layer: versus-exact flow, table export, custom examples."""
 
+import importlib.util
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+REPO_ROOT = Path(__file__).parent.parent
+REFERENCE_DIR = Path("/root/reference")
+SHIM_DIR = Path(__file__).parent / "reference_shims"
+
+
+def _load_module(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    module = importlib.util.module_from_spec(spec)
+    sys.modules[name] = module
+    spec.loader.exec_module(module)
+    return module
 
 
 def _opts(**over):
@@ -48,3 +64,48 @@ def test_versus_exact_flow(tmp_path):
     # Exported error table exists.
     tables = list(tmp_path.rglob("*.tex")) + list(tmp_path.rglob("*.html"))
     assert tables, "expected exported checkpoint-error tables"
+
+
+def test_log2table_contract_end_to_end(tmp_path):
+    """A real solve's --log_file output must parse into the SAME table
+    through our log2table and through the reference's (the log format is an
+    API: the replication sweep builds its comparison tables from it)."""
+    from dots_socp_tpu.interface import (
+        print_example_info,
+        run_dot_surface,
+        set_logging_level,
+    )
+
+    log_path = tmp_path / "info.log"
+    opts = _opts(outdir=str(tmp_path))
+    opts.log_file = str(log_path)
+    try:
+        set_logging_level("info", log_file=str(log_path))
+        print_example_info(opts)
+        run_dot_surface(solver_name="socp", opts=opts)
+    finally:
+        set_logging_level("info")
+
+    ours = _load_module("ours_log2table", REPO_ROOT / "replication" / "log2table.py")
+    ours.log2table(str(log_path), [str(tmp_path / "ours.csv"), str(tmp_path / "ours.tex")])
+    our_csv = (tmp_path / "ours.csv").read_text()
+    assert "Plane" in our_csv and "Transport Cost" in our_csv
+    assert (tmp_path / "ours.tex").exists()
+
+    if not REFERENCE_DIR.exists():
+        pytest.skip("reference repository not available")
+    sys.path.insert(0, str(SHIM_DIR))
+    sys.path.insert(0, str(REFERENCE_DIR))
+    try:
+        ref = _load_module(
+            "ref_log2table", REFERENCE_DIR / "replication" / "log2table.py"
+        )
+    except Exception as exc:
+        pytest.skip(f"could not import reference log2table: {exc}")
+    finally:
+        sys.path.remove(str(SHIM_DIR))
+        sys.path.remove(str(REFERENCE_DIR))
+    ref.log2table(str(log_path), [str(tmp_path / "ref.csv")])
+
+    assert (tmp_path / "ref.csv").exists(), "reference parser matched no block"
+    assert our_csv == (tmp_path / "ref.csv").read_text()

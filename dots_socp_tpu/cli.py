@@ -159,6 +159,39 @@ def parse_args(parser=None, return_parser=False):
         "--log_file", default=None, type=str, help="Also tee the log to this file (log2table input)"
     )
 
+    dist_group = parser.add_argument_group(
+        "Distributed execution",
+        "Place the solver on a ('time', 'space') device mesh; multi-host "
+        "runs launch one process per host with the same command line plus "
+        "--process_id.",
+    )
+    dist_group.add_argument(
+        "--mesh_shape",
+        default=None,
+        type=str,
+        help="Device mesh as TxS (e.g. 2x4) or a bare chip count S "
+        "(= 1xS, pure spatial sharding); default: single device",
+    )
+    dist_group.add_argument(
+        "--coordinator_address",
+        default=None,
+        type=str,
+        help="host:port of process 0 for jax.distributed.initialize "
+        "(multi-host only)",
+    )
+    dist_group.add_argument(
+        "--num_processes",
+        default=None,
+        type=int,
+        help="Total process count of the multi-host run",
+    )
+    dist_group.add_argument(
+        "--process_id",
+        default=None,
+        type=int,
+        help="This process's rank in [0, num_processes)",
+    )
+
     exp_group = parser.add_argument_group("Experimental features")
     exp_group.add_argument(
         "--log_level",

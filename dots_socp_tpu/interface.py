@@ -187,6 +187,27 @@ def run_dot_surface(opts, solver=None, solver_name=None):
         if value is not None:
             optional_args[solver_key] = value
 
+    # Distributed placement: bring up the multi-process runtime (no-op when
+    # single-process) and translate --mesh_shape into the solver's device
+    # mesh. jax.distributed.initialize must run before the mesh is built so
+    # jax.devices() sees the global device set.
+    if any(
+        getattr(opts, key, None) is not None
+        for key in ("coordinator_address", "num_processes", "process_id")
+    ):
+        from dots_socp_tpu.parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=getattr(opts, "coordinator_address", None),
+            num_processes=getattr(opts, "num_processes", None),
+            process_id=getattr(opts, "process_id", None),
+        )
+    mesh_shape = getattr(opts, "mesh_shape", None)
+    if mesh_shape is not None:
+        from dots_socp_tpu.parallel import make_solver_mesh
+
+        optional_args["mesh"] = make_solver_mesh(mesh_shape)
+
     normalized_geometry, scale_factor = normalize_geometry(geometry)
     solution, run_history = solver(n_time, normalized_geometry, **optional_args)
 

@@ -8,6 +8,11 @@ reductions, all-gathers around the mesh gathers, matmul collectives for
 the spectral solve).
 """
 
+from dots_socp_tpu.parallel.distributed import (
+    initialize_distributed,
+    make_solver_mesh,
+    parse_mesh_shape,
+)
 from dots_socp_tpu.parallel.mesh import (
     make_mesh,
     state_shardings,
@@ -17,6 +22,9 @@ from dots_socp_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
+    "make_solver_mesh",
+    "parse_mesh_shape",
     "make_mesh",
     "state_shardings",
     "problem_shardings",

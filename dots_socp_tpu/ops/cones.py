@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from dots_socp_tpu.ops.mesh_ops import SurfaceOps, vertex_gather, vertex_reduce
 
 
-def project_soc(ops: SurfaceOps, to_fst, to_mid, to_end):
+def project_soc(ops: SurfaceOps, to_fst, to_mid, to_end, halo=None, mesh_axes=None):
     """Project points onto the per-(t, v) second-order cones.
 
     Parameters
@@ -38,7 +38,7 @@ def project_soc(ops: SurfaceOps, to_fst, to_mid, to_end):
     """
     # ||tail||^2 per (t, v): sum of squares of incident mid entries + end^2.
     sq = (to_mid * to_mid).sum(axis=(1, 4))  # (T, F, 3corner)
-    norm_sq = vertex_reduce(ops, sq) + to_end * to_end
+    norm_sq = vertex_reduce(ops, sq, halo, mesh_axes, ("time",)) + to_end * to_end
     norm = jnp.sqrt(norm_sq)
 
     # Zero-norm guard: for a zero tail the correct projection is the
@@ -53,6 +53,6 @@ def project_soc(ops: SurfaceOps, to_fst, to_mid, to_end):
     z_fst = jnp.where(inside, to_fst, lam * norm)
     z_end = lam * to_end
 
-    lam_slots = vertex_gather(ops, lam) / ops.diag_soc  # (T, F, 3corner)
+    lam_slots = vertex_gather(ops, lam, halo, mesh_axes, ("time",)) / ops.diag_soc
     z_mid = lam_slots[:, None, :, :, None] * to_mid
     return z_fst, z_mid, z_end

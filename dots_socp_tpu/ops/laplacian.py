@@ -286,6 +286,8 @@ def cg_solve(
     x0=None,
     max_iters: int = 200,
     rtol=None,
+    halo=None,
+    mesh_axes=None,
 ):
     """Batched spectrally-preconditioned CG over the T+1 shifted SPD systems.
 
@@ -316,7 +318,8 @@ def cg_solve(
         return v - op.null_row[:, None] * mean
 
     def matvec(x):
-        return -(laplacian_apply(ops, x) + op.shifts[:, None] * ops.av[None, :] * x)
+        lap = laplacian_apply(ops, x, halo, mesh_axes, (None,))
+        return -(lap + op.shifts[:, None] * ops.av[None, :] * x)
 
     def precond(r):
         z = op.jacobi * r

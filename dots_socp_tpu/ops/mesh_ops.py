@@ -72,23 +72,38 @@ def build_surface_ops(
     )
 
 
-def vertex_gather(ops: SurfaceOps, values):
-    """(..., V) vertex field -> (..., F, 3) per-corner values."""
+def vertex_gather(ops: SurfaceOps, values, halo=None, mesh_axes=None, lead=()):
+    """(..., V) vertex field -> (..., F, 3) per-corner values.
+
+    halo / mesh_axes: when the problem is space-sharded with a blocked
+    layout (`parallel.partition`), route through the shard-local halo
+    implementation (`parallel.halo`); `lead` gives the PartitionSpec of the
+    leading axes (e.g. ("time",) for (T, V) inputs).
+    """
+    if halo is not None:
+        from dots_socp_tpu.parallel.halo import halo_gather
+
+        return halo_gather(mesh_axes, halo, values, lead)
     return values[..., ops.tri]
 
 
-def vertex_reduce(ops: SurfaceOps, values):
+def vertex_reduce(ops: SurfaceOps, values, halo=None, mesh_axes=None, lead=()):
     """Sum (..., F, 3) corner-slot data into vertices: (..., V).
 
     Adjoint of `vertex_gather`. Implemented as gather + masked sum through
-    the padded incidence table (no scatter).
+    the padded incidence table (no scatter); shard-local halo variant when
+    `halo` is given (see `vertex_gather`).
     """
+    if halo is not None:
+        from dots_socp_tpu.parallel.halo import halo_reduce
+
+        return halo_reduce(mesh_axes, halo, ops.inc_mask, values, lead)
     flat = values.reshape(values.shape[:-2] + (-1,))
     gathered = flat[..., ops.inc_table]  # (..., V, D)
     return (gathered * ops.inc_mask).sum(-1)
 
 
-def grad_space(ops: SurfaceOps, phi):
+def grad_space(ops: SurfaceOps, phi, halo=None, mesh_axes=None, lead=()):
     """P1 gradient: (..., V) -> (..., F, 3) tangent vectors per triangle.
 
     grad(phi)|_f = sum_k phi[tri[f,k]] * grad_basis[f,k].
@@ -99,11 +114,11 @@ def grad_space(ops: SurfaceOps, phi):
     V~5k (and inherits the global HIGHEST matmul precision's multi-pass
     cost for no accuracy gain -- the VPU sum is already full f32).
     """
-    corners = vertex_gather(ops, phi)  # (..., F, 3corner)
+    corners = vertex_gather(ops, phi, halo, mesh_axes, lead)  # (..., F, 3corner)
     return (corners[..., :, None] * ops.grad_basis).sum(axis=-2)
 
 
-def div_space(ops: SurfaceOps, m):
+def div_space(ops: SurfaceOps, m, halo=None, mesh_axes=None, lead=()):
     """Divergence, the negative adjoint of grad_space under plain dot product:
     (..., F, 3) -> (..., V).
 
@@ -111,25 +126,26 @@ def div_space(ops: SurfaceOps, m):
     (Same VPU mul-sum form as grad_space, for the same reason.)
     """
     contrib = -(m[..., None, :] * ops.grad_basis).sum(axis=-1)
-    return vertex_reduce(ops, contrib)
+    return vertex_reduce(ops, contrib, halo, mesh_axes, lead)
 
 
-def laplacian_apply(ops: SurfaceOps, x):
+def laplacian_apply(ops: SurfaceOps, x, halo=None, mesh_axes=None, lead=()):
     """Cotan Laplacian SpMV, matrix-free: L x = div(area_f * grad(x)).
 
     Negative semidefinite; equals the assembled cotan matrix
     (`geometry.surface.cotan_laplacian`) applied to x.
     """
-    return div_space(ops, ops.area_f[:, None] * grad_space(ops, x))
+    grad = grad_space(ops, x, halo, mesh_axes, lead)
+    return div_space(ops, ops.area_f[:, None] * grad, halo, mesh_axes, lead)
 
 
-def triangle_mean_gather(ops: SurfaceOps, values):
+def triangle_mean_gather(ops: SurfaceOps, values, halo=None, mesh_axes=None, lead=()):
     """(..., V) -> (..., F): mean of the 3 corner values per triangle.
 
     Device equivalent of the reference's `map_decouple_space` (1/3-weighted
     vertex->triangle map, `socp/solver_socp.py:163-166`).
     """
-    return vertex_gather(ops, values).mean(axis=-1)
+    return vertex_gather(ops, values, halo, mesh_axes, lead).mean(axis=-1)
 
 
 def weighted_vertex_reduce(ops: SurfaceOps, values):

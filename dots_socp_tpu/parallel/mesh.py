@@ -121,6 +121,16 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
             defl_winv=rep,
             rtol=rep,
         )
+    halo = None
+    if data.halo is not None:
+        from dots_socp_tpu.parallel.halo import HaloTables
+
+        halo = HaloTables(
+            vtx_export=s("space", None),
+            tri_local=s("space", None),
+            slot_export=s("space", None),
+            inc_local=s("space", None),
+        )
     return ProblemData(
         ops=ops,
         spectral=spectral,
@@ -131,6 +141,7 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
         c_dual_beta=rep,
         c_comp_rho=rep,
         c_comp_m=rep,
+        halo=halo,
     )
 
 

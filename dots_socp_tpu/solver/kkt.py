@@ -60,6 +60,7 @@ def kkt_table(config: ProblemConfig, data: ProblemData, state: SolverState):
     """Return the (7, 2) KKT error table [original, scaled] (traceable;
     composed into the chunk dispatch by `step.run_chunk_kkt`)."""
     ops = data.ops
+    spmd = config.spmd_kwargs(data)
     dt = config.stepsize_time
     nst, nsc, nss, nsd = _norms(config, data)
     s = state
@@ -90,7 +91,7 @@ def kkt_table(config: ProblemConfig, data: ProblemData, state: SolverState):
     dual_aux = (s.r * dt) * (
         s.boundary
         + div_time(dt, s.mu * ops.av[None, :])
-        + div_space(ops, s.E * ops.area_f[None, :, None])
+        + div_space(ops, s.E * ops.area_f[None, :, None], lead=(None,), **spmd)
     ) / ops.av[None, :]
     dual_resi = jnp.sqrt(nsc(dual_aux))
     kkt2 = dual_valued(dual_resi, data.c_dual_alpha, s.norm_boundary, s.dual_scale)
@@ -111,7 +112,7 @@ def kkt_table(config: ProblemConfig, data: ProblemData, state: SolverState):
     dec_b1 = decouple_space(b_o, 1.0)
     sq = (dec_b1 * dec_b1).sum(axis=(1, 4))  # (T, F, 3corner)
     resi_aux = a_o + 0.25 * vertex_reduce(
-        ops, ops.area_f[:, None] * sq
+        ops, ops.area_f[:, None] * sq, lead=("time",), **spmd
     ) / ops.av[None, :]
     norm_sum4 = jnp.sqrt(nst(mu_o)) + jnp.sqrt(nst(resi_aux))
     proj_gap = jnp.maximum(0.0, resi_aux + mu_o) - mu_o
@@ -121,7 +122,7 @@ def kkt_table(config: ProblemConfig, data: ProblemData, state: SolverState):
     # --- 5: complementarity (m, rho o B) -- original units only -------------
     m_o = (s.dual_scale * s.r) * s.E
     rho_adj = time_center_adjoint(mu_o)  # (T+1, V)
-    rho_tri = triangle_mean_gather(ops, rho_adj)  # (T+1, F)
+    rho_tri = triangle_mean_gather(ops, rho_adj, lead=(None,), **spmd)
     aux5 = rho_tri[:, :, None] * b_o
     norm_sum5 = jnp.sqrt(nss(m_o)) + jnp.sqrt(nss(aux5))
     resi5 = jnp.sqrt(nss(aux5 - m_o))

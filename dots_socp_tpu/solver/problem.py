@@ -49,6 +49,20 @@ class ProblemConfig:
     cg_max_iters: int = 200
     cg_rtol: float = 1e-9
     dtype: str = "float32"
+    # (time, space) device-mesh axis sizes when the solve is sharded; with
+    # space > 1 and a blocked layout, the incidence ops take the shard-local
+    # halo path (`parallel.halo`).
+    mesh_axes: Optional[tuple] = None
+
+    def spmd_kwargs(self, data) -> dict:
+        """kwargs routing the mesh ops through the halo path when active."""
+        if (
+            self.mesh_axes is not None
+            and self.mesh_axes[1] > 1
+            and data.halo is not None
+        ):
+            return {"halo": data.halo, "mesh_axes": self.mesh_axes}
+        return {}
 
     @property
     def jnp_dtype(self):
@@ -75,6 +89,9 @@ class ProblemData(NamedTuple):
     c_dual_beta: jnp.ndarray
     c_comp_rho: jnp.ndarray
     c_comp_m: jnp.ndarray
+    # Shard-local halo-exchange tables (`parallel.halo.HaloTables`), present
+    # only when the problem was built with space_partitions > 1.
+    halo: Optional[tuple] = None
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -93,6 +110,8 @@ def build_problem(
     cg_deflation_k: int = 64,
     dtype: str = "float32",
     pad_multiple: int = 1,
+    space_partitions: int = 1,
+    mesh_axes=None,
 ):
     """Assemble (ProblemConfig, ProblemData) plus host-side constants.
 
@@ -102,13 +121,22 @@ def build_problem(
         a dummy vertex, so the padded entries remain exactly at their fixed
         point throughout the solve. Padding serves both TPU lane alignment
         and divisibility for sharding over a device mesh.
+    space_partitions : number of space shards. With > 1, vertices and
+        triangles are re-ordered into BFS-blocked per-shard chunks
+        (`parallel.partition.blocked_layout`, replacing pad_multiple) and
+        `data.halo` carries the shard-local exchange tables, so incidence
+        gathers/reductions stay local to a device. Positions of the real
+        entities are reported in extras["vertex_slot"/"triangle_slot"].
+    mesh_axes : (time, space) device-mesh axis sizes, stored on the config
+        to route the mesh ops (`ProblemConfig.spmd_kwargs`).
 
     Returns
     -------
     config : ProblemConfig
     data : ProblemData
     extras : dict with host floats {norm_constant_d, area_mesh}, NumPy
-        av / area_f (real sizes), and padded mu0/mu1 for state init.
+        av / area_f (real sizes), padded mu0/mu1 for state init, and the
+        vertex/triangle placement maps.
     """
     vertices = np.asarray(geometry["vertices"], dtype=np.float64)
     triangles = np.asarray(geometry["triangles"])
@@ -125,26 +153,59 @@ def build_problem(
     area_f, angles, grad_basis = triangle_quantities(vertices, triangles)
     av = vertex_areas(triangles, area_f, n_vertices) / 3.0
 
-    v_pad = _round_up(n_vertices, pad_multiple)
-    f_pad = _round_up(n_triangles, pad_multiple)
+    halo = None
+    if space_partitions > 1:
+        # Blocked shard-local layout: real entities scattered into per-shard
+        # chunks (replaces pad_multiple; each chunk is lane-aligned).
+        from dots_socp_tpu.parallel.halo import HaloTables
+        from dots_socp_tpu.parallel.partition import blocked_layout
 
-    # --- padded operator arrays ----------------------------------------------
-    tri_p = np.concatenate(
-        [
-            triangles,
-            np.full((f_pad - n_triangles, 3), v_pad - 1 if v_pad > n_vertices else 0),
-        ]
-    ).astype(np.int64)
-    grad_basis_p = np.concatenate(
-        [grad_basis, np.zeros((f_pad - n_triangles, 3, 3))]
-    )
-    area_f_p = np.concatenate([area_f, np.zeros(f_pad - n_triangles)])
-    av_p = np.concatenate(
-        [av, np.full(v_pad - n_vertices, av.mean() if av.size else 1.0)]
-    )
-    # Incidence from REAL triangles only (dummy slots never reduced), over
-    # the padded vertex range so dummy vertices get empty (masked) rows.
-    table, mask = build_incidence_table(triangles, v_pad)
+        layout = blocked_layout(triangles, n_vertices, space_partitions)
+        v_pad = space_partitions * layout.v_chunk
+        f_pad = space_partitions * layout.f_chunk
+        vertex_slot = layout.vertex_slot.astype(np.int64)
+        triangle_slot = layout.triangle_slot.astype(np.int64)
+        tri_p = layout.tri_new.astype(np.int64)
+        grad_basis_p = np.zeros((f_pad, 3, 3))
+        grad_basis_p[triangle_slot] = grad_basis
+        area_f_p = np.zeros(f_pad)
+        area_f_p[triangle_slot] = area_f
+        av_p = np.full(v_pad, av.mean() if av.size else 1.0)
+        av_p[vertex_slot] = av
+        table, mask = layout.inc_table, layout.inc_mask
+        lap_triangles = vertex_slot[triangles]
+        halo = HaloTables(
+            vtx_export=jnp.asarray(layout.vtx_export),
+            tri_local=jnp.asarray(layout.tri_local),
+            slot_export=jnp.asarray(layout.slot_export),
+            inc_local=jnp.asarray(layout.inc_local),
+        )
+    else:
+        v_pad = _round_up(n_vertices, pad_multiple)
+        f_pad = _round_up(n_triangles, pad_multiple)
+        vertex_slot = np.arange(n_vertices, dtype=np.int64)
+        triangle_slot = np.arange(n_triangles, dtype=np.int64)
+        tri_p = np.concatenate(
+            [
+                triangles,
+                np.full(
+                    (f_pad - n_triangles, 3),
+                    v_pad - 1 if v_pad > n_vertices else 0,
+                ),
+            ]
+        ).astype(np.int64)
+        grad_basis_p = np.concatenate(
+            [grad_basis, np.zeros((f_pad - n_triangles, 3, 3))]
+        )
+        area_f_p = np.concatenate([area_f, np.zeros(f_pad - n_triangles)])
+        av_p = np.concatenate(
+            [av, np.full(v_pad - n_vertices, av.mean() if av.size else 1.0)]
+        )
+        # Incidence from REAL triangles only (dummy slots never reduced),
+        # over the padded vertex range so dummy vertices get masked rows.
+        table, mask = build_incidence_table(triangles, v_pad)
+        lap_triangles = triangles
+
     diag_soc_p = np.sqrt(
         np.where(area_f_p[:, None] > 0, area_f_p[:, None], av_p[tri_p])
         / av_p[tri_p]
@@ -162,7 +223,7 @@ def build_problem(
         diag_soc=jnp.asarray(diag_soc_p, dtype=jdtype),
     )
 
-    lap = cotan_laplacian(triangles, angles, v_pad)
+    lap = cotan_laplacian(lap_triangles, angles, v_pad)
 
     if laplacian_mode == "auto":
         laplacian_mode = "spectral" if v_pad <= max_dense_vertices else "cg"
@@ -202,6 +263,7 @@ def build_problem(
         cg_max_iters=cg_max_iters,
         cg_rtol=cg_rtol,
         dtype=dtype,
+        mesh_axes=tuple(mesh_axes) if mesh_axes is not None else None,
     )
     data = ProblemData(
         ops=ops,
@@ -213,11 +275,12 @@ def build_problem(
         c_dual_beta=scalar((mean_av + mean_af) / 2.0),
         c_comp_rho=scalar(mean_av),
         c_comp_m=scalar(mean_af),
+        halo=halo,
     )
     mu0 = np.zeros(v_pad)
-    mu0[:n_vertices] = np.asarray(geometry["mu0"], dtype=np.float64)
+    mu0[vertex_slot] = np.asarray(geometry["mu0"], dtype=np.float64)
     mu1 = np.zeros(v_pad)
-    mu1[:n_vertices] = np.asarray(geometry["mu1"], dtype=np.float64)
+    mu1[vertex_slot] = np.asarray(geometry["mu1"], dtype=np.float64)
     extras = {
         "area_mesh": float(area_f.sum()),
         "norm_constant_d": math.sqrt(2.0 * float(area_f.sum())),
@@ -225,5 +288,7 @@ def build_problem(
         "area_f": area_f,
         "mu0_padded": mu0,
         "mu1_padded": mu1,
+        "vertex_slot": vertex_slot,
+        "triangle_slot": triangle_slot,
     }
     return config, data, extras

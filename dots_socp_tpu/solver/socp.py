@@ -184,16 +184,18 @@ def solver_socp(
     dt = 1.0 / n_time
 
     # --- problem assembly ---------------------------------------------------
-    if pad_multiple is None:
-        if mesh is not None:
-            space_size = mesh.shape.get("space", 1)
-            pad_multiple = max(8, space_size) if space_size > 1 else 8
-        else:
-            pad_multiple = 8 if jax.default_backend() == "tpu" else 1
+    # With a space-sharded mesh the layout is BFS-blocked per shard
+    # (space_partitions replaces pad_multiple, each chunk lane-aligned);
+    # otherwise pad for TPU sublane alignment only.
+    mesh_axes = None
+    space_size = 1
     if mesh is not None:
         space_size = mesh.shape.get("space", 1)
-        if pad_multiple % space_size != 0:
-            pad_multiple *= space_size
+        mesh_axes = (mesh.shape.get("time", 1), space_size)
+    if pad_multiple is None:
+        pad_multiple = 8 if jax.default_backend() == "tpu" else 1
+    if mesh is not None and space_size > 1 and pad_multiple % space_size != 0:
+        pad_multiple *= space_size  # only reached when space_partitions == 1
 
     # Setup runs on the host CPU backend: it is a swarm of tiny ops, each of
     # which would otherwise pay a compile + dispatch round trip to the
@@ -215,6 +217,8 @@ def solver_socp(
             cg_deflation_k=cg_deflation_k,
             dtype=precision,
             pad_multiple=pad_multiple,
+            space_partitions=space_size,
+            mesh_axes=mesh_axes,
         )
     logging.debug(
         "---- Laplace matrix ".ljust(42, "-")
@@ -223,6 +227,8 @@ def solver_socp(
 
     n_vertices = config.n_vertices
     n_triangles = config.n_triangles
+    vertex_slot = extras["vertex_slot"]
+    triangle_slot = extras["triangle_slot"]
 
     logging.log(
         LOG_LEVELS["kkt"],
@@ -258,7 +264,9 @@ def solver_socp(
             grad_time_fn=lambda p: grad_time(dt, p),
             grad_space_fn=lambda p: grad_space(ops, p),
             decouple_adjoint_fn=decouple_space_adjoint,
-            init_solution=_pad_init_solution(init_solution or {}, config),
+            init_solution=_pad_init_solution(
+                init_solution or {}, config, extras
+            ),
             congestion=congestion,
             tau=tau,
             eps=eps,
@@ -330,11 +338,9 @@ def solver_socp(
 
     def snapshot_checkpoint(state, iteration, org):
         scale = float(state.r) * float(state.dual_scale)
-        v_real = config.n_vertices_real
-        f_real = config.n_triangles_real
         return CheckpointDotData(
-            mu=scale * np.asarray(state.mu)[:, :v_real],
-            E=scale * np.asarray(state.E)[:, :f_real],
+            mu=scale * np.asarray(state.mu)[:, vertex_slot],
+            E=scale * np.asarray(state.E)[:, triangle_slot],
             iteration=iteration,
             time=run_history.get_running_time(),
             kkt=list(org),
@@ -645,7 +651,9 @@ def solver_socp(
     )
     run_history.end()
 
-    solution = _recover_solution(state, checkpoint_solutions, config)
+    solution = _recover_solution(
+        state, checkpoint_solutions, config, vertex_slot, triangle_slot
+    )
 
     congestion_norm = float(
         np.linalg.norm(
@@ -713,59 +721,66 @@ def _initial_constant_scaling(config, data, state, n_time):
     return state
 
 
-def _pad_init_solution(init_solution: dict, config) -> dict:
-    """Zero-pad a warm-start solution's vertex/triangle dims to the padded
-    problem shapes. Accepts real-sized (or already padded) arrays."""
+def _pad_init_solution(init_solution: dict, config, extras) -> dict:
+    """Place a real-sized warm-start solution into the padded (possibly
+    blocked) problem layout; already-padded arrays pass through."""
     if not init_solution:
         return init_solution
     v_pad, f_pad = config.n_vertices, config.n_triangles
 
-    def pad(arr, axis, target):
+    def place(arr, axis, target, slot):
         arr = np.asarray(arr)
-        gap = target - arr.shape[axis]
-        if gap == 0:
-            return arr
-        if gap < 0:
-            raise ValueError("warm-start array larger than padded problem")
-        widths = [(0, 0)] * arr.ndim
-        widths[axis] = (0, gap)
-        return np.pad(arr, widths)
+        if arr.shape[axis] == target:
+            return arr  # already laid out
+        if arr.shape[axis] != slot.shape[0]:
+            raise ValueError(
+                f"warm-start axis {axis} has size {arr.shape[axis]}; expected "
+                f"{slot.shape[0]} (real) or {target} (padded)"
+            )
+        out = np.zeros(arr.shape[:axis] + (target,) + arr.shape[axis + 1 :],
+                       dtype=arr.dtype)
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slot
+        out[tuple(idx)] = arr
+        return out
 
+    v_slot, f_slot = extras["vertex_slot"], extras["triangle_slot"]
     v_keys = {"phi": 1, "A": 1, "lambda_c": 1, "z_fst": 1, "z_end": 1,
               "mu": 1, "beta_fst": 1, "beta_end": 1}
     f_keys = {"B": 1, "E": 1, "z_mid": 2, "beta_mid": 2}
     out = dict(init_solution)
     for key, axis in v_keys.items():
         if out.get(key) is not None:
-            out[key] = pad(out[key], axis, v_pad)
+            out[key] = place(out[key], axis, v_pad, v_slot)
     for key, axis in f_keys.items():
         if out.get(key) is not None:
-            out[key] = pad(out[key], axis, f_pad)
+            out[key] = place(out[key], axis, f_pad, f_slot)
     return out
 
 
-def _recover_solution(state, checkpoint_solutions, config) -> SolutionSocpData:
+def _recover_solution(
+    state, checkpoint_solutions, config, vertex_slot, triangle_slot
+) -> SolutionSocpData:
     """Undo the prim/dual/z/r scalings (reference
-    `recorver_scaled_solution`, `solver_socp.py:397-412`) and slice the
-    padded arrays back to the real mesh."""
+    `recorver_scaled_solution`, `solver_socp.py:397-412`) and gather the
+    padded (possibly blocked) arrays back to the real mesh ordering."""
     ps = float(state.prim_scale)
     ds = float(state.dual_scale)
     sz = float(state.scale_z)
     r = float(state.r)
-    v = config.n_vertices_real
-    f = config.n_triangles_real
+    v, f = vertex_slot, triangle_slot
     return SolutionSocpData(
-        phi=ps * np.asarray(state.phi)[:, :v],
-        A=ps * np.asarray(state.A)[:, :v],
-        B=ps * np.asarray(state.B)[:, :f],
-        lambda_c=ps * np.asarray(state.lambda_c)[:, :v],
-        z_fst=(ps / sz) * np.asarray(state.z_fst)[:, :v],
-        z_mid=(ps / sz) * np.asarray(state.z_mid)[:, :, :f],
-        z_end=(ps / sz) * np.asarray(state.z_end)[:, :v],
-        mu=(r * ds) * np.asarray(state.mu)[:, :v],
-        E=(r * ds) * np.asarray(state.E)[:, :f],
-        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst)[:, :v],
-        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid)[:, :, :f],
-        beta_end=(r * sz * ds) * np.asarray(state.beta_end)[:, :v],
+        phi=ps * np.asarray(state.phi)[:, v],
+        A=ps * np.asarray(state.A)[:, v],
+        B=ps * np.asarray(state.B)[:, f],
+        lambda_c=ps * np.asarray(state.lambda_c)[:, v],
+        z_fst=(ps / sz) * np.asarray(state.z_fst)[:, v],
+        z_mid=(ps / sz) * np.asarray(state.z_mid)[:, :, f],
+        z_end=(ps / sz) * np.asarray(state.z_end)[:, v],
+        mu=(r * ds) * np.asarray(state.mu)[:, v],
+        E=(r * ds) * np.asarray(state.E)[:, f],
+        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst)[:, v],
+        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid)[:, :, f],
+        beta_end=(r * sz * ds) * np.asarray(state.beta_end)[:, v],
         checkpoints=checkpoint_solutions if checkpoint_solutions else None,
     )

@@ -41,11 +41,12 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
     including the proximal -eps * av * phi_prev term.
     """
     ops = data.ops
+    spmd = config.spmd_kwargs(data)
     dt = config.stepsize_time
     rhs_t = (state.A + state.lambda_c - state.mu) * ops.av[None, :]
     rhs_x = (state.B - state.E) * ops.area_f[None, :, None]
-    rhs = div_time(dt, rhs_t) + div_space(ops, rhs_x) - state.boundary
-    rhs = rhs - state.eps * ops.av[None, :] * state.phi
+    rhs = div_time(dt, rhs_t) + div_space(ops, rhs_x, lead=(None,), **spmd)
+    rhs = rhs - state.boundary - state.eps * ops.av[None, :] * state.phi
 
     if config.laplacian_mode == "spectral":
         return spectral_solve(data.spectral, rhs)
@@ -56,17 +57,18 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
         x0=state.phi,
         max_iters=config.cg_max_iters,
         rtol=None,  # traced data.cg_op.rtol (host-adapted, no recompile)
+        **spmd,
     )
 
 
-def solve_proj_soc(data: ProblemData, state: SolverState):
+def solve_proj_soc(config: ProblemConfig, data: ProblemData, state: SolverState):
     """Step 1b: project onto the second-order cones (uses pre-step-2 A, B)."""
     ops = data.ops
     dec_b = decouple_space(state.B, state.scale_z)
     to_fst = state.constant_d - state.scale_z * state.A - state.beta_fst
     to_mid = ops.diag_soc[None, None, :, :, None] * (dec_b - state.beta_mid)
     to_end = state.constant_d + state.scale_z * state.A - state.beta_end
-    return project_soc(ops, to_fst, to_mid, to_end)
+    return project_soc(ops, to_fst, to_mid, to_end, **config.spmd_kwargs(data))
 
 
 def solve_q_lambda(config: ProblemConfig, state: SolverState, dt_phi, dx_phi):
@@ -109,11 +111,11 @@ def iteration(config: ProblemConfig, data: ProblemData, state: SolverState):
 
     # Step 1: Laplacian solve and SOC projection share the pre-update state.
     phi = solve_laplacian(config, data, state)
-    z_fst, z_mid, z_end = solve_proj_soc(data, state)
+    z_fst, z_mid, z_end = solve_proj_soc(config, data, state)
 
     # Step 2
     dt_phi = grad_time(config.stepsize_time, phi)
-    dx_phi = grad_space(data.ops, phi)
+    dx_phi = grad_space(data.ops, phi, lead=(None,), **config.spmd_kwargs(data))
     state_z = state._replace(z_fst=z_fst, z_mid=z_mid, z_end=z_end)
     A, B, lambda_c = solve_q_lambda(config, state_z, dt_phi, dx_phi)
 

@@ -67,3 +67,72 @@ def test_cli_mesh_shape_solve_matches_single_device():
     )
     np.testing.assert_allclose(sharded["mu"], single["mu"], rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(sharded["E"], single["E"], rtol=1e-9, atol=1e-12)
+
+
+def test_halo_path_cuts_collective_bytes():
+    """The blocked layout + halo exchange must communicate boundary-sized
+    buffers, not bulk arrays: audit the compiled HLO of the SOC projection
+    (two incidence ops) for total collective bytes under both layouts."""
+    import re
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from dots_socp_tpu.data.loader import load_example
+    from dots_socp_tpu.geometry.normalize import normalize_geometry
+    from dots_socp_tpu.ops.mesh_ops import grad_space
+    from dots_socp_tpu.ops.time_stencils import decouple_space_adjoint, grad_time
+    from dots_socp_tpu.parallel.mesh import make_mesh, shard_problem, shard_state
+    from dots_socp_tpu.solver.problem import build_problem
+    from dots_socp_tpu.solver.state import init_state
+    from dots_socp_tpu.solver.step import solve_proj_soc
+
+    _, geometry, _ = load_example(
+        example_name="plane", kwargs_generating_mesh={"n": 32}
+    )
+    geometry, _ = normalize_geometry(geometry)
+    width = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "pred": 1, "s64": 8}
+
+    def collective_bytes(txt):
+        total = 0
+        for kind in ("all-gather", "all-reduce", "all-to-all",
+                     "collective-permute", "reduce-scatter"):
+            for m in re.finditer(
+                r"(\w+)\[([\d,]*)\][^=]*\b" + kind + r"\(", txt
+            ):
+                n = 1
+                for d in m.group(2).split(","):
+                    if d:
+                        n *= int(d)
+                total += n * width.get(m.group(1), 8)
+        return total
+
+    mesh = make_mesh(8, time_axis=2)
+    measured = {}
+    for label, kwargs in (
+        ("gspmd", dict(space_partitions=1, pad_multiple=8, mesh_axes=None)),
+        ("halo", dict(space_partitions=4, pad_multiple=1, mesh_axes=(2, 4))),
+    ):
+        config, data, extras = build_problem(
+            8, geometry, dtype="float64", **kwargs
+        )
+        dt = config.stepsize_time
+        ops = data.ops
+        state = init_state(
+            8, config.n_vertices, config.n_triangles,
+            extras["mu0_padded"], extras["mu1_padded"], dt,
+            grad_time_fn=lambda p: grad_time(dt, p),
+            grad_space_fn=lambda p: grad_space(ops, p),
+            decouple_adjoint_fn=decouple_space_adjoint,
+            dtype=config.jnp_dtype,
+        )
+        data = shard_problem(mesh, data)
+        state = shard_state(mesh, state)
+        fn = jax.jit(partial(solve_proj_soc, config))
+        txt = fn.lower(data, state).compile().as_text()
+        measured[label] = collective_bytes(txt)
+
+    assert measured["halo"] < 0.35 * measured["gspmd"], (
+        f"halo path should cut collective bytes by >65%: {measured}"
+    )

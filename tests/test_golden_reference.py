@@ -100,3 +100,54 @@ def test_kkt_errors_match_reference(reference_solver, plane_geometry):
     our_err = np.asarray(our_history.kkt_errors, dtype=float)
     n = min(ref_err.shape[0], our_err.shape[0])
     np.testing.assert_allclose(our_err[:n], ref_err[:n], rtol=1e-6, atol=1e-10)
+
+
+def test_z_rescale_schedule_matches_reference(reference_solver):
+    """The z-rescale trigger (min_it, one-shot count, 5e-3 gate) must take
+    the same decision as the reference's AdjustAdmmParam on identical
+    (iteration, recorded-KKT) sequences -- including the boundary where the
+    recorded error crosses the gate exactly at / between validations."""
+    from dot_surface_socp.utils.admm_tools import AdjustAdmmParam
+
+    from dots_socp_tpu.solver.schedule import SigmaSchedule
+
+    sequences = [
+        # (it, recorded kkt): gate crossing before / at / after min_it=100
+        [(50, [1e-2]), (99, [1e-4]), (100, [1e-4]), (103, [1e-4])],
+        [(100, [6e-3]), (101, [5.1e-3]), (137, [4.9e-3]), (138, [1e-4])],
+        [(100, [4e-3]), (101, [4e-3])],  # one-shot: second never fires
+        [(250, [1e-2]), (300, [2e-3])],
+    ]
+    for seq in sequences:
+        ours = SigmaSchedule()
+        ref = AdjustAdmmParam()
+        for it, kkt in seq:
+            assert ours.is_to_scale_matrix(it, kkt) == ref.is_to_scale_matrix(
+                it, kkt
+            ), f"divergent z-rescale decision at it={it}, kkt={kkt}"
+
+
+def test_trajectory_across_z_trigger_boundary(reference_solver, plane_geometry):
+    """Golden trajectory crossing iteration 100, where the one-shot z-rescale
+    trigger is evaluated from chunk boundaries in our host loop but every
+    iteration in the reference: final states must still agree (the recorded
+    KKT only changes at validation points, which are chunk boundaries)."""
+    from dots_socp_tpu.solver import solver_socp
+
+    kwargs = dict(
+        nit=160,
+        tol=1e-12,  # never met: both run exactly nit iterations
+        time_limit=10_000,
+        is_z_scaling=True,
+        is_multi_threads=False,
+    )
+    ref_solution, _ = reference_solver(4, _geometry_pair(plane_geometry), **kwargs)
+    our_solution, _ = solver_socp(
+        4, _geometry_pair(plane_geometry), precision="float64", **kwargs
+    )
+    np.testing.assert_allclose(
+        our_solution["mu"], ref_solution["mu"], rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        our_solution["z_fst"], ref_solution["z_fst"], rtol=1e-6, atol=1e-9
+    )

@@ -4,7 +4,9 @@
 #   make test       - unit + golden test suite
 #   make bench      - TPU throughput benchmark (one JSON line)
 PYTHON ?= python
-export PYTHONPATH := ./
+# Append, don't clobber: the environment may register JAX backend plugins
+# through PYTHONPATH (e.g. a TPU runtime plugin dir).
+export PYTHONPATH := ./:$(PYTHONPATH)
 export PYTHONIOENCODING := utf-8
 
 OUTDIR := output/$(shell date +%Y_%m%d_%H%M)

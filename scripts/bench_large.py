@@ -1,0 +1,125 @@
+"""Large-mesh throughput benchmark for the matrix-free CG Laplacian path.
+
+The spectral path densifies the (V, V) eigenbasis and hits an O(V^2) memory
+wall around V ~ 16k; beyond that the solver switches to the batched
+preconditioned-CG path (`ops/laplacian.py:build_cg_operator`). This script
+measures sustained fused-iteration throughput of that path on a large plane
+mesh (V chosen via --n_space) on the real chip, and prints one JSON line.
+
+Usage: python scripts/bench_large.py --n_space 290 --n_time 31 --iters 200
+"""
+
+import argparse
+import json
+import logging
+import time
+
+
+def build(n_space: int, n_time: int, dtype: str, cg_max_iters: int):
+    logging.disable(logging.CRITICAL)
+    import jax
+
+    from dots_socp_tpu.data.loader import load_example
+    from dots_socp_tpu.geometry.normalize import normalize_geometry
+    from dots_socp_tpu.ops.mesh_ops import grad_space
+    from dots_socp_tpu.ops.time_stencils import decouple_space_adjoint, grad_time
+    from dots_socp_tpu.solver.problem import build_problem
+    from dots_socp_tpu.solver.state import init_state
+
+    _, geometry, _ = load_example(
+        example_name="plane", kwargs_generating_mesh={"n": n_space}
+    )
+    geometry, _ = normalize_geometry(geometry)
+    with jax.default_device(jax.devices("cpu")[0]):
+        config, data, extras = build_problem(
+            n_time,
+            geometry,
+            dtype=dtype,
+            pad_multiple=128,
+            laplacian_mode="cg",
+            cg_max_iters=cg_max_iters,
+        )
+        dt = config.stepsize_time
+        ops = data.ops
+        state = init_state(
+            n_time,
+            config.n_vertices,
+            config.n_triangles,
+            extras["mu0_padded"],
+            extras["mu1_padded"],
+            dt,
+            grad_time_fn=lambda p: grad_time(dt, p),
+            grad_space_fn=lambda p: grad_space(ops, p),
+            decouple_adjoint_fn=decouple_space_adjoint,
+            dtype=config.jnp_dtype,
+        )
+    exec_device = jax.devices()[0]
+    if exec_device.platform != "cpu":
+        data, state = jax.device_put((data, state), exec_device)
+    return config, data, state
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_space", type=int, default=290)
+    ap.add_argument("--n_time", type=int, default=31)
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--cg_max_iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    t_setup = time.perf_counter()
+    config, data, state = build(
+        args.n_space, args.n_time, args.dtype, args.cg_max_iters
+    )
+    t_setup = time.perf_counter() - t_setup
+
+    import jax
+
+    from dots_socp_tpu.solver.kkt import compute_kkt
+    from dots_socp_tpu.solver.step import run_chunk
+
+    t_compile = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(2))
+    jax.block_until_ready(state.phi)
+    t_compile = time.perf_counter() - t_compile
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(2))
+    jax.block_until_ready(state.phi)
+    dispatch_overhead = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(args.iters))
+    jax.block_until_ready(state.phi)
+    raw = time.perf_counter() - t0
+    elapsed = max(raw - dispatch_overhead, 1e-9)
+
+    kkt = np.asarray(compute_kkt(config, data, state))
+    assert np.all(np.isfinite(kkt[:, 0])), f"diverged: {kkt}"
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"iALM iterations/s, CG path (plane n{args.n_space}: "
+                    f"V={config.n_vertices_real}, F={config.n_triangles_real}, "
+                    f"T={args.n_time}, {args.dtype}, "
+                    f"cg_max_iters={args.cg_max_iters})"
+                ),
+                "value": round(args.iters / elapsed, 3),
+                "unit": "iter/s",
+                "sec_per_iter": round(elapsed / args.iters, 5),
+                "raw_iters_per_sec": round(args.iters / raw, 3),
+                "setup_sec": round(t_setup, 1),
+                "compile_sec": round(t_compile, 1),
+                "kkt_stop_error": float(np.max(kkt[[0, 2, 4, 5], 0])),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

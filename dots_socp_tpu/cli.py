@@ -236,6 +236,13 @@ def parse_args(parser=None, return_parser=False):
         default=300.0,
         help="Seconds between periodic snapshots (with --snapshot)",
     )
+    exp_group.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="Capture a jax.profiler device trace of the solve into this "
+        "directory (inspect with TensorBoard or xprof)",
+    )
 
     if return_parser:
         return parser

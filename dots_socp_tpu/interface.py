@@ -209,7 +209,19 @@ def run_dot_surface(opts, solver=None, solver_name=None):
         optional_args["mesh"] = make_solver_mesh(mesh_shape)
 
     normalized_geometry, scale_factor = normalize_geometry(geometry)
-    solution, run_history = solver(n_time, normalized_geometry, **optional_args)
+    profile_dir = getattr(opts, "profile_dir", None)
+    if profile_dir:
+        # Device trace of the whole solve (compile + dispatches + kernels);
+        # extends the reference's host step timers (SURVEY 5.1) with the
+        # TPU-side timeline. View with TensorBoard / xprof.
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            solution, run_history = solver(
+                n_time, normalized_geometry, **optional_args
+            )
+    else:
+        solution, run_history = solver(n_time, normalized_geometry, **optional_args)
 
     if not isinstance(solution, dict) or "mu" not in solution:
         raise ValueError("solver must return a dict containing 'mu'")

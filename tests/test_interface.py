@@ -109,3 +109,17 @@ def test_log2table_contract_end_to_end(tmp_path):
 
     assert (tmp_path / "ref.csv").exists(), "reference parser matched no block"
     assert our_csv == (tmp_path / "ref.csv").read_text()
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """--profile_dir wraps the solve in jax.profiler.trace and leaves a
+    trace artifact on disk (SURVEY 5.1: device-timeline observability)."""
+    from dots_socp_tpu.interface import run_dot_surface
+    from dots_socp_tpu.solver import solver as dot_solver
+
+    profile_dir = tmp_path / "trace"
+    opts = _opts(nit=3, profile_dir=str(profile_dir))
+    run_dot_surface(solver=dot_solver, solver_name="socp", opts=opts)
+
+    produced = list(profile_dir.rglob("*"))
+    assert any(p.is_file() for p in produced), "no profiler artifacts written"

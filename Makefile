@@ -4,6 +4,8 @@
 #   make test       - unit + golden test suite
 #   make bench      - TPU throughput benchmark (one JSON line)
 PYTHON ?= python
+# The main recipe uses ${var//./_} substitutions: require bash, not /bin/sh.
+SHELL := /bin/bash
 # Append, don't clobber: the environment may register JAX backend plugins
 # through PYTHONPATH (e.g. a TPU runtime plugin dir).
 export PYTHONPATH := ./:$(PYTHONPATH)

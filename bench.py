@@ -45,21 +45,30 @@ def bench_tpu():
     from dots_socp_tpu.solver.step import run_chunk
 
     config, data, state = build()
-    # Warm up / compile, and measure the fixed per-dispatch latency so the
-    # reported number is per-iteration device time, not link round trips.
+
+    def fetch(s):
+        # Force completion with a real device->host transfer: on the remote
+        # relay platform block_until_ready can return before the dispatch
+        # has executed, which would void wall-clock timing entirely.
+        return np.asarray(s.phi)[0, 0]
+
+    # Warm up / compile.
     state = run_chunk(config, data, state, np.int32(2))
-    jax.block_until_ready(state.phi)
-    t0 = time.perf_counter()
-    state = run_chunk(config, data, state, np.int32(2))
-    jax.block_until_ready(state.phi)
-    dispatch_overhead = time.perf_counter() - t0
+    fetch(state)
     _ = np.asarray(compute_kkt(config, data, state))
 
+    # Difference runs of 2 and 2+N fused iterations: the dispatch round trip,
+    # fetch, and any fixed overhead cancel, leaving per-iteration device time.
     t0 = time.perf_counter()
-    state = run_chunk(config, data, state, np.int32(BENCH_ITERS))
-    jax.block_until_ready(state.phi)
+    state = run_chunk(config, data, state, np.int32(2))
+    fetch(state)
+    t_short = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(2 + BENCH_ITERS))
+    fetch(state)
     raw_elapsed = time.perf_counter() - t0
-    elapsed = max(raw_elapsed - dispatch_overhead, 1e-9)
+    elapsed = max(raw_elapsed - t_short, 1e-9)
 
     kkt = np.asarray(compute_kkt(config, data, state))
     assert np.all(np.isfinite(kkt[:, 0])), f"bench run diverged: {kkt}"
@@ -139,10 +148,11 @@ def main():
                 "vs_baseline": round(vs_baseline, 3)
                 if vs_baseline == vs_baseline
                 else None,
-                # Methodology: both sides exclude one-time setup. TPU
-                # subtracts the measured per-dispatch link latency; the
-                # reference is differenced between nit=2 and nit=14 runs.
-                # raw = wall-clock including the dispatch round trip.
+                # Methodology: symmetric differencing. Both sides time two
+                # runs (2 vs 2+N iterations) and difference them, so setup,
+                # dispatch round trips and fetch overhead cancel on the TPU
+                # exactly as the reference's setup does on CPU.
+                # raw = wall-clock of the long run including the round trip.
                 "raw_iters_per_sec": round(raw_iters_per_sec, 3),
                 "reference_iters_per_sec": round(ref_iters_per_sec, 4)
                 if ref_iters_per_sec

@@ -158,6 +158,14 @@ class CGOperator(NamedTuple):
     rtol     : () relative tolerance -- a TRACED scalar, so the host can
                tighten it as the outer iALM error decreases (classic
                inexact-ALM inner-tolerance scheduling) without recompiling
+    ell_idx  : (V, D) int32 padded-ELL column indices of L_space (row-major
+               neighbor lists, self-index on padding slots)
+    ell_w    : (V, D) matching nonzero values (0 on padding slots)
+
+    The SpMV inside CG uses the ELL form instead of composing
+    div(area * grad(x)): one gather of D ~ 8 neighbor values per vertex
+    replaces two incidence passes through (T+1, F, 3) corner-slot
+    intermediates, cutting HBM traffic ~3x on this bandwidth-bound op.
     """
 
     shifts: jnp.ndarray
@@ -169,6 +177,8 @@ class CGOperator(NamedTuple):
     defl_q: jnp.ndarray
     defl_winv: jnp.ndarray
     rtol: jnp.ndarray
+    ell_idx: jnp.ndarray
+    ell_w: jnp.ndarray
 
 
 def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
@@ -266,6 +276,8 @@ def build_cg_operator(
             null_row.astype(bool)[:, None] & null_aligned[None, :], 0.0, winv
         )
 
+    ell_idx, ell_w = _ell_arrays(lap_space)
+
     return CGOperator(
         shifts=jnp.asarray(shifts, dtype=dtype),
         jacobi=jnp.asarray(jacobi, dtype=dtype),
@@ -276,7 +288,39 @@ def build_cg_operator(
         defl_q=jnp.asarray(q, dtype=dtype),
         defl_winv=jnp.asarray(winv, dtype=dtype),
         rtol=jnp.asarray(rtol, dtype=dtype),
+        ell_idx=jnp.asarray(ell_idx),
+        ell_w=jnp.asarray(ell_w, dtype=dtype),
     )
+
+
+def _ell_arrays(lap_space):
+    """Padded-ELL (indices, values) of the sparse (V, V) cotan Laplacian.
+
+    Rows are padded to the max vertex degree + 1 with (own-index, 0.0)
+    entries, so the SpMV is a fixed-width gather + mul-sum -- dense VPU
+    work with no scatter, the TPU-shaped form of the reference's CSR SpMV
+    (`utils/laplacian_inverse_socp.py` delegates to SuperLU; here CG owns
+    the hot loop and the SpMV *is* the roofline).
+    """
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(lap_space)
+    csr.sum_duplicates()
+    v = csr.shape[0]
+    nnz_per_row = np.diff(csr.indptr)
+    width = max(int(nnz_per_row.max(initial=0)), 1)
+    idx = np.repeat(np.arange(v, dtype=np.int32)[:, None], width, axis=1)
+    w = np.zeros((v, width), dtype=np.float64)
+    rows = np.repeat(np.arange(v), nnz_per_row)
+    slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], nnz_per_row)
+    idx[rows, slots] = csr.indices.astype(np.int32)
+    w[rows, slots] = csr.data
+    return idx, w
+
+
+def ell_matvec(op: CGOperator, x):
+    """L_space @ x for (..., V) x, via the padded-ELL gather form."""
+    return (x[..., op.ell_idx] * op.ell_w).sum(-1)
 
 
 def cg_solve(
@@ -318,7 +362,16 @@ def cg_solve(
         return v - op.null_row[:, None] * mean
 
     def matvec(x):
-        lap = laplacian_apply(ops, x, halo, mesh_axes, (None,))
+        if halo is None:
+            # Padded-ELL SpMV: one fixed-width neighbor gather per vertex.
+            # ~3x less HBM traffic than composing div(area * grad(x))
+            # through the (T+1, F, 3) corner-slot intermediates.
+            lap = ell_matvec(op, x)
+        else:
+            # Space-sharded blocked layout: the halo-exchange incidence ops
+            # keep the gather shard-local (ELL neighbor lists would reach
+            # across shard boundaries).
+            lap = laplacian_apply(ops, x, halo, mesh_axes, (None,))
         return -(lap + op.shifts[:, None] * ops.av[None, :] * x)
 
     def precond(r):

@@ -120,6 +120,11 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
             defl_q=s("space", None),
             defl_winv=rep,
             rtol=rep,
+            # ELL SpMV operands: row-blocked over space; the neighbor
+            # gather reaches across shards, which GSPMD resolves with an
+            # all-gather of x (the blocked-layout/halo path avoids this).
+            ell_idx=s("space", None),
+            ell_w=s("space", None),
         )
     halo = None
     if data.halo is not None:

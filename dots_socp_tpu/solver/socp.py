@@ -513,9 +513,11 @@ def solver_socp(
 
         # The adaptive device-resident path runs iterations AND validations
         # on device up to the next host-side event (one round trip per
-        # segment). It cannot serve modes that need host access to the state
-        # at intermediate validations.
-        use_adaptive = not check_kkt_step_by_step and not tol_checkpoints
+        # segment). Tolerance checkpoints are served by an in-dispatch early
+        # exit at the crossing validation (the host then snapshots the
+        # segment-end state, which IS the state at the crossing); only
+        # step-by-step mode needs host access at every iteration.
+        use_adaptive = not check_kkt_step_by_step
 
         # ---- plan the next dispatch segment --------------------------------
         if check_kkt_step_by_step:
@@ -539,7 +541,14 @@ def solver_socp(
             # Iterations + validations + sigma updates all run on device;
             # one dispatch and one packed transfer per segment.
             aux = np.asarray(
-                [float(sched.last_adjust_it), float(is_org_kkt), tol],
+                [
+                    float(sched.last_adjust_it),
+                    float(is_org_kkt),
+                    tol,
+                    # -inf sentinel: err <= -inf never fires (inf would
+                    # fire at EVERY validation and change chunk boundaries).
+                    tol_checkpoints[0] if tol_checkpoints else -np.inf,
+                ],
                 dtype=config.np_dtype,
             )
             t0 = time.perf_counter()

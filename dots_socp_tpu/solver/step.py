@@ -224,7 +224,12 @@ def run_chunk_adaptive(
 
     Parameters: it0 absolute iteration index of the first iteration in the
     segment; k_bound max iterations; j_first iterations until the first
-    check; aux = [last_adjust_it, is_org_kkt (0/1), tol].
+    check; aux = [last_adjust_it, is_org_kkt (0/1), tol, next_checkpoint].
+    next_checkpoint (-inf when none are pending) makes the segment stop at
+    the validation where the stop-set error first crosses a tolerance
+    checkpoint, so the host snapshots the state exactly at the crossing --
+    checkpointed (versus-exact) runs keep this one-dispatch-per-segment
+    path instead of falling back to per-validation host syncs.
 
     Returns (state, packed) where packed =
       [n_checks, it_total, last_adjust_it, is_org_kkt,
@@ -242,6 +247,7 @@ def run_chunk_adaptive(
     last_adjust0 = aux[0].astype(jnp.int32)
     is_org0 = aux[1] > 0.5
     tol = aux[2].astype(dtype)
+    next_checkpoint = aux[3].astype(dtype)
     recs0 = jnp.full((max_checks, ADAPTIVE_REC_SIZE), jnp.nan, dtype=dtype)
     stop_idx = jnp.asarray([0, 2, 4, 5])
     prim_pos = jnp.asarray([0, 1])
@@ -278,7 +284,7 @@ def run_chunk_adaptive(
         table = kkt_table(config, data, state)
         org, scaled = table[:, 0], table[:, 1]
         err = jnp.nanmax(org[stop_idx])
-        done = jnp.all(org < tol)
+        done = jnp.all(org < tol) | (err <= next_checkpoint)
 
         # org/scaled switch precedes the sigma update (host order).
         is_org = is_org | (jnp.nanmax(scaled) < 5 * tol)

@@ -81,20 +81,30 @@ def main():
     from dots_socp_tpu.solver.kkt import compute_kkt
     from dots_socp_tpu.solver.step import run_chunk
 
+    def fetch(s):
+        # Force completion with a real device->host transfer: on the remote
+        # relay platform block_until_ready can return before the dispatch
+        # has executed, which silently voids wall-clock timing.
+        return np.asarray(s.phi)[0, 0]
+
     t_compile = time.perf_counter()
     state = run_chunk(config, data, state, np.int32(2))
-    jax.block_until_ready(state.phi)
+    fetch(state)
     t_compile = time.perf_counter() - t_compile
+
+    # Difference runs of 2 and 2+iters fused iterations: the dispatch round
+    # trip, fetch, and any fixed overhead cancel.
     t0 = time.perf_counter()
     state = run_chunk(config, data, state, np.int32(2))
-    jax.block_until_ready(state.phi)
-    dispatch_overhead = time.perf_counter() - t0
+    fetch(state)
+    t_short = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state = run_chunk(config, data, state, np.int32(args.iters))
-    jax.block_until_ready(state.phi)
-    raw = time.perf_counter() - t0
-    elapsed = max(raw - dispatch_overhead, 1e-9)
+    state = run_chunk(config, data, state, np.int32(2 + args.iters))
+    fetch(state)
+    t_long = time.perf_counter() - t0
+    raw = t_long
+    elapsed = max(t_long - t_short, 1e-9)
 
     kkt = np.asarray(compute_kkt(config, data, state))
     assert np.all(np.isfinite(kkt[:, 0])), f"diverged: {kkt}"

@@ -275,3 +275,27 @@ def test_cg_solve_matches_spectral(mesh, ops):
     )
     diff = x_spec - x_cg
     assert np.abs(diff - diff.mean()).max() < 1e-6
+
+
+def test_ell_matvec_matches_assembled_and_matrix_free(mesh, ops):
+    """The padded-ELL SpMV inside the CG path must equal both the assembled
+    cotan matrix and the matrix-free div(area * grad(x)) composition."""
+    from dots_socp_tpu.ops.laplacian import ell_matvec
+    from dots_socp_tpu.ops.mesh_ops import laplacian_apply
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    T = 5
+    dt = 1.0 / T
+    av = np.asarray(ops.av)
+    cg_op = build_cg_operator(T, dt, av, lap, eps=0.0, dtype=DT, deflation_k=0)
+
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((T + 1, vertices.shape[0]))
+
+    via_ell = np.asarray(ell_matvec(cg_op, jnp.asarray(x)))
+    via_matrix = (lap @ x.T).T
+    via_ops = np.asarray(laplacian_apply(ops, jnp.asarray(x)))
+    np.testing.assert_allclose(via_ell, via_matrix, atol=1e-10)
+    np.testing.assert_allclose(via_ell, via_ops, atol=1e-10)

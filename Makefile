@@ -37,6 +37,7 @@ help:
 # =======================================
 OUTDIR_MAIN := $(OUTDIR)_main
 tol ?= 1e-4
+time_limit ?= 5000
 
 EXAMPLES = airplane 		refined_airplane \
 		   armadillo 		refined_armadillo \
@@ -46,7 +47,7 @@ EXAMPLES = airplane 		refined_airplane \
 		   ring knots_3 knots_5 hills
 CONGESTIONs = 0.00 0.01 0.05
 
-PARAM = --ntime=31 --nit=10000 --time_limit=5000 --tol=$(tol) \
+PARAM = --ntime=31 --nit=10000 --time_limit=$(time_limit) --tol=$(tol) \
 		--save --outdir=$(OUTDIR_MAIN)
 
 EXTRA_HILLS = --power_perceptual=0.5

@@ -319,8 +319,115 @@ def _ell_arrays(lap_space):
 
 
 def ell_matvec(op: CGOperator, x):
-    """L_space @ x for (..., V) x, via the padded-ELL gather form."""
-    return (x[..., op.ell_idx] * op.ell_w).sum(-1)
+    """L_space @ x for (..., V) x, via the padded-ELL gather form.
+
+    The gather runs in vertex-major layout: moving V to the front makes
+    each gathered element a contiguous (lead...,) row (T+1 lanes wide)
+    instead of a single lane element -- TPU gathers move whole 128-byte
+    sublane rows, so row gathers run near memory speed while lane-element
+    gathers crawl.
+    """
+    xt = jnp.moveaxis(x, -1, 0)  # (V, ...)
+    g = xt[op.ell_idx]  # (V, D, ...)
+    w = op.ell_w.reshape(op.ell_w.shape + (1,) * (x.ndim - 1))
+    return jnp.moveaxis((g * w).sum(1), 0, -1)
+
+
+class BandedOperator(NamedTuple):
+    """RCM block-banded form of the cotan Laplacian: zero-gather SpMV.
+
+    After a reverse-Cuthill-McKee reordering the matrix bandwidth drops to
+    O(sqrt V); padding it to (2*w_blocks+1) block diagonals of 128x128
+    dense tiles turns the SpMV into a handful of shifted batched matmuls
+    on the MXU, shared across all T+1 time shifts:
+
+        y_i = sum_d  A[d, i] @ x_{i+d-w},   A[d] : (nb, 128, 128)
+
+    blocks : (2w+1, nb, 128, 128) dense band tiles (zero-padded)
+    perm   : (Vp,) RCM order (new position -> old index)
+    iperm  : (Vp,) inverse permutation
+    """
+
+    blocks: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+
+
+def build_banded_operator(
+    lap_space, dtype=jnp.float32, block: int = 128, max_bytes: int = 2 << 30
+):
+    """Host-side: RCM-reorder the sparse Laplacian and extract the dense
+    block band. Returns None when the band storage would exceed max_bytes
+    (pathological orderings / very high genus meshes)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    csr = sp.csr_matrix(lap_space)
+    v = csr.shape[0]
+    perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+    p = csr[perm][:, perm].tocoo()
+
+    vp = -(-v // block) * block
+    nb = vp // block
+    bw = int(np.abs(p.row - p.col).max(initial=0))
+    w_blocks = (bw + block - 1) // block  # block-diagonal reach each side
+    n_diag = 2 * w_blocks + 1
+    itemsize = np.dtype(np.float32 if dtype == jnp.float32 else np.float64).itemsize
+    if n_diag * nb * block * block * itemsize > max_bytes:
+        return None
+
+    blocks = np.zeros((n_diag, nb, block, block), dtype=np.float64)
+    bi, bj = p.row // block, p.col // block
+    d = bj - bi + w_blocks  # 0 .. n_diag-1 by construction
+    blocks[d, bi, p.row % block, p.col % block] = p.data
+
+    perm_full = np.concatenate([perm, np.arange(v, vp)]).astype(np.int32)
+    iperm_full = np.empty(vp, dtype=np.int32)
+    iperm_full[perm_full] = np.arange(vp, dtype=np.int32)
+    return BandedOperator(
+        blocks=jnp.asarray(blocks, dtype=dtype),
+        perm=jnp.asarray(perm_full),
+        iperm=jnp.asarray(iperm_full),
+    )
+
+
+def banded_matvec(op: BandedOperator, x):
+    """L_space @ x for (..., V) x via shifted block-diagonal batched
+    matmuls -- dense MXU work, no gathers (the two permutations are
+    row-contiguous takes)."""
+    vp = op.perm.shape[0]
+    v = x.shape[-1]
+    lead = x.shape[:-1]
+    nb = op.blocks.shape[1]
+    block = op.blocks.shape[2]
+    w = (op.blocks.shape[0] - 1) // 2
+
+    xt = jnp.moveaxis(x, -1, 0)  # (V, ...)
+    if vp > v:
+        xt = jnp.concatenate(
+            [xt, jnp.zeros((vp - v,) + lead, dtype=x.dtype)], axis=0
+        )
+    xp = xt[op.perm].reshape((nb, block) + lead)  # (nb, 128, ...)
+    flat = xp.reshape(nb, block, -1)  # (nb, 128, L)
+
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.zeros_like(flat)
+    for d in range(op.blocks.shape[0]):
+        shift = d - w  # block offset of the source column panel
+        src = jnp.roll(flat, -shift, axis=0)
+        contrib = jnp.einsum(
+            "nij,njl->nil", op.blocks[d], src, precision=hi
+        )
+        # Zero the wrapped-around panels from the roll.
+        if shift > 0:
+            idx = jnp.arange(nb) < nb - shift
+            contrib = jnp.where(idx[:, None, None], contrib, 0.0)
+        elif shift < 0:
+            idx = jnp.arange(nb) >= -shift
+            contrib = jnp.where(idx[:, None, None], contrib, 0.0)
+        y = y + contrib
+    y = y.reshape((vp,) + lead)[op.iperm][:v]
+    return jnp.moveaxis(y, 0, -1)
 
 
 def cg_solve(

@@ -1,0 +1,119 @@
+"""Race the Laplacian SpMV implementations on the real chip.
+
+Variants (all computing L_space @ x for x of shape (T+1, V)):
+  graddiv : matrix-free div(area * grad(x)) through triangle incidence
+  ell     : padded-ELL row-layout neighbor gather
+  banded  : RCM block-banded dense tiles, shifted batched MXU matmuls
+
+Each variant is timed as a chain of `iters` dependent applications inside
+one dispatch (normalized each step so magnitudes stay bounded), differenced
+against a 1-application dispatch so round-trip overhead cancels.
+
+Usage: python scripts/bench_matvec.py --n_space 200 --n_time 31 --iters 50
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_space", type=int, default=200)
+    ap.add_argument("--n_time", type=int, default=31)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dots_socp_tpu.geometry.generators import generate_plane_mesh
+    from dots_socp_tpu.geometry.surface import (
+        cotan_laplacian,
+        triangle_quantities,
+    )
+    from dots_socp_tpu.ops.laplacian import (
+        banded_matvec,
+        build_banded_operator,
+        build_cg_operator,
+        ell_matvec,
+    )
+    from dots_socp_tpu.ops.mesh_ops import build_surface_ops, laplacian_apply
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    vertices, triangles, _ = generate_plane_mesh(n=args.n_space)
+    v = vertices.shape[0]
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, v)
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        ops = build_surface_ops(vertices, triangles, dtype=dtype)
+        cg_op = build_cg_operator(
+            args.n_time, 1.0 / args.n_time, np.asarray(ops.av), lap,
+            dtype=dtype, deflation_k=0,
+        )
+        band = build_banded_operator(lap, dtype=dtype)
+    dev = jax.devices()[0]
+    ops, cg_op, band = jax.device_put((ops, cg_op, band), dev)
+
+    rng = np.random.default_rng(0)
+    x0 = jax.device_put(
+        jnp.asarray(
+            rng.standard_normal((args.n_time + 1, v)), dtype=dtype
+        ),
+        dev,
+    )
+
+    variants = {
+        "graddiv": lambda y: laplacian_apply(ops, y),
+        "ell": lambda y: ell_matvec(cg_op, y),
+        "banded": lambda y: banded_matvec(band, y),
+    }
+
+    results = {}
+    for name, mv in variants.items():
+        @jax.jit
+        def chain(y, n, mv=mv):
+            def body(_, y):
+                y = mv(y)
+                return y * jax.lax.rsqrt(jnp.sum(y * y) + 1e-30)
+            return jax.lax.fori_loop(0, n, body, y)
+
+        # compile + warm both trip counts
+        np.asarray(chain(x0, np.int32(1)))[0, 0]
+        np.asarray(chain(x0, np.int32(1 + args.iters)))[0, 0]
+
+        t0 = time.perf_counter()
+        np.asarray(chain(x0, np.int32(1)))[0, 0]
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chain(x0, np.int32(1 + args.iters)))[0, 0]
+        t_long = time.perf_counter() - t0
+        us = (t_long - t_short) / args.iters * 1e6
+        results[name] = round(us, 1)
+
+    # Cross-check the three variants agree numerically.
+    outs = [np.asarray(mv(x0)) for mv in variants.values()]
+    agree = max(
+        float(np.max(np.abs(outs[0] - o))) for o in outs[1:]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"Laplacian SpMV time (V={v}, T={args.n_time}, "
+                f"{args.dtype})",
+                "unit": "us/matvec",
+                "variants": results,
+                "max_disagreement": agree,
+                "band_diagonals": int(band.blocks.shape[0]) if band else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

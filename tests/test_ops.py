@@ -299,3 +299,20 @@ def test_ell_matvec_matches_assembled_and_matrix_free(mesh, ops):
     via_ops = np.asarray(laplacian_apply(ops, jnp.asarray(x)))
     np.testing.assert_allclose(via_ell, via_matrix, atol=1e-10)
     np.testing.assert_allclose(via_ell, via_ops, atol=1e-10)
+
+
+def test_banded_matvec_matches_assembled(mesh, ops):
+    """The RCM block-banded MXU SpMV must equal the assembled matrix."""
+    from dots_socp_tpu.ops.laplacian import banded_matvec, build_banded_operator
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    band = build_banded_operator(lap, dtype=DT)
+    assert band is not None
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((6, vertices.shape[0]))
+    via_band = np.asarray(banded_matvec(band, jnp.asarray(x)))
+    via_matrix = (lap @ x.T).T
+    np.testing.assert_allclose(via_band, via_matrix, atol=1e-10)

@@ -316,3 +316,14 @@ def test_banded_matvec_matches_assembled(mesh, ops):
     via_band = np.asarray(banded_matvec(band, jnp.asarray(x)))
     via_matrix = (lap @ x.T).T
     np.testing.assert_allclose(via_band, via_matrix, atol=1e-10)
+
+
+def test_banded_operator_respects_storage_cap(mesh):
+    """build_banded_operator must return None (ELL fallback) when the band
+    would exceed the storage cap, instead of materializing it."""
+    from dots_socp_tpu.ops.laplacian import build_banded_operator
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    assert build_banded_operator(lap, max_bytes=1024) is None

@@ -181,6 +181,64 @@ class CGOperator(NamedTuple):
     ell_w: jnp.ndarray
 
 
+def _ritz_cache_dir() -> str:
+    """Directory for persisted Ritz pairs (env DOTS_SOCP_CACHE_DIR, default
+    <repo>/output/ritz_cache next to the package)."""
+    import os
+    from pathlib import Path
+
+    env = os.environ.get("DOTS_SOCP_CACHE_DIR")
+    if env:
+        return env
+    return str(Path(__file__).resolve().parents[2] / "output" / "ritz_cache")
+
+
+def _ritz_pairs_cached(lap_space, av: np.ndarray, k: int, seed: int = 7):
+    """`_ritz_pairs` with an on-disk cache keyed by the exact problem.
+
+    The LOBPCG deflation setup is the dominant one-time cost at large V
+    (measured 778 s at V=97k); the pairs depend only on (L_space, av, k,
+    seed), so persist them keyed by a content hash and pay the cost once
+    per mesh. Any cache IO failure silently falls back to recomputing.
+    """
+    import hashlib
+    import os
+
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(lap_space)
+    csr.sum_duplicates()
+    h = hashlib.sha256()
+    for part in (
+        np.int64([k, seed, csr.shape[0]]),
+        csr.indptr.astype(np.int64),
+        csr.indices.astype(np.int64),
+        np.asarray(csr.data, dtype=np.float64),
+        np.asarray(av, dtype=np.float64),
+    ):
+        h.update(part.tobytes())
+    cache_dir = _ritz_cache_dir()
+    path = os.path.join(cache_dir, f"ritz_{h.hexdigest()[:32]}.npz")
+
+    try:
+        with np.load(path) as f:
+            return f["q"], f["w"]
+    except (OSError, KeyError, ValueError):
+        pass
+
+    q, w = _ritz_pairs(csr, av, k, seed)
+
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:  # file object: savez can't append ".npz"
+            np.savez(f, q=q, w=w)
+        os.replace(tmp, path)  # atomic against concurrent builders
+    except OSError:
+        pass
+    return q, w
+
+
 def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
     """Approximate the k smallest eigenpairs of C = av^{-1/2}(-L)av^{-1/2}
     (host side, one-time): LOBPCG with Jacobi preconditioning, then a
@@ -256,7 +314,7 @@ def build_cg_operator(
     jacobi = 1.0 / np.maximum(diag, 1e-30 * scale)
 
     if deflation_k > 0 and hasattr(lap_space, "diagonal"):
-        q, w = _ritz_pairs(lap_space, av, deflation_k)
+        q, w = _ritz_pairs_cached(lap_space, av, deflation_k)
     else:
         q, w = np.zeros((av.shape[0], 0)), np.zeros(0)
     denom = w[None, :] - shifts[:, None]  # (T+1, k), >= 0
@@ -439,6 +497,7 @@ def cg_solve(
     rtol=None,
     halo=None,
     mesh_axes=None,
+    space_sharded=False,
 ):
     """Batched spectrally-preconditioned CG over the T+1 shifted SPD systems.
 
@@ -450,10 +509,21 @@ def cg_solve(
     congruent form) collapses the slow low-frequency tail for every shift
     at once; the two thin (T+1,V)x(V,k) GEMMs per iteration ride the MXU.
 
+    Stopping is PER SHIFT: each of the T+1 systems terminates against its
+    own ||b_a|| (an aggregate criterion would let a dominant-norm shift
+    either mask under-converged small-norm shifts or keep every converged
+    shift iterating). Converged rows are frozen (alpha = beta = 0) so their
+    x stops drifting while the remaining rows share the batched SpMV.
+
     Singular rows (Neumann null space at shift = 0) are deflated by
     projecting out the constant. Warm-startable via x0 (the previous outer
     iteration's phi). `rtol=None` reads the traced `op.rtol`, which the
     host adapts to the outer iALM error between dispatches.
+
+    space_sharded : the problem's vertex axis is partitioned over a device
+    mesh but no halo tables exist. The ELL gather indexes globally, which
+    GSPMD can only resolve by all-gathering x every matvec -- route through
+    the incidence-form `laplacian_apply` instead (partitionable reductions).
     """
     if rtol is None:
         rtol = op.rtol
@@ -469,7 +539,7 @@ def cg_solve(
         return v - op.null_row[:, None] * mean
 
     def matvec(x):
-        if halo is None:
+        if halo is None and not space_sharded:
             # Padded-ELL SpMV: one fixed-width neighbor gather per vertex.
             # ~3x less HBM traffic than composing div(area * grad(x))
             # through the (T+1, F, 3) corner-slot intermediates.
@@ -477,7 +547,8 @@ def cg_solve(
         else:
             # Space-sharded blocked layout: the halo-exchange incidence ops
             # keep the gather shard-local (ELL neighbor lists would reach
-            # across shard boundaries).
+            # across shard boundaries); without halo tables, the incidence
+            # form still partitions without per-matvec all-gathers.
             lap = laplacian_apply(ops, x, halo, mesh_axes, (None,))
         return -(lap + op.shifts[:, None] * ops.av[None, :] * x)
 
@@ -494,24 +565,34 @@ def cg_solve(
     z = precond(r)
     p = z
     rz = (r * z).sum(axis=1, keepdims=True)
-    b_norm = (b * b).sum()
+    b_norm_row = (b * b).sum(axis=1, keepdims=True)  # (T+1, 1)
+    # Per-shift threshold with an absolute floor relative to the batch
+    # scale: a (near-)zero-RHS row wants x = 0 and must not keep the whole
+    # batch iterating on rounding noise it can never beat.
+    thresh = rtol * rtol * jnp.maximum(b_norm_row, 1e-12 * b_norm_row.sum())
 
     def body(state):
         x, r, p, rz, it = state
+        active = (r * r).sum(axis=1, keepdims=True) > thresh
         ap = matvec(p)
-        alpha = rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30)
+        alpha = jnp.where(
+            active, rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30), 0.0
+        )
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
         rz_new = (r * z).sum(axis=1, keepdims=True)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return x, r, p, rz_new, it + 1
+        # Frozen rows keep p (and rz) unchanged so they resume consistently
+        # if re-activated; beta = 0 there avoids rz_new/rz ~ 1 blowing p up.
+        beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        p = jnp.where(active, z + beta * p, p)
+        rz = jnp.where(active, rz_new, rz)
+        return x, r, p, rz, it + 1
 
     def cond(state):
         _, r, _, _, it = state
-        res = (r * r).sum()
-        return jnp.logical_and(it < max_iters, res > rtol * rtol * b_norm)
+        res_row = (r * r).sum(axis=1, keepdims=True)
+        return jnp.logical_and(it < max_iters, jnp.any(res_row > thresh))
 
     x, _, _, _, _ = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
     x = deflate(x)

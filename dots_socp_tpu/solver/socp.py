@@ -479,11 +479,14 @@ def solver_socp(
 
             # Checkpoints at first crossing of each tolerance level (only on
             # the per-validation dispatch path, where `state` is the state at
-            # check_it).
+            # check_it). Compare at device precision: the adaptive segment
+            # tests err <= np_dtype(checkpoint), and a mismatched host-side
+            # float64 threshold would leave the popped list out of sync with
+            # the in-dispatch early exit (wasting a dispatch).
             while (
                 tol_checkpoints
                 and np.isfinite(error)
-                and error <= tol_checkpoints[0]
+                and error <= float(config.np_dtype(tol_checkpoints[0]))
             ):
                 checkpoint_solutions.append(
                     snapshot_checkpoint(state, check_it, org)

@@ -50,6 +50,12 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
 
     if config.laplacian_mode == "spectral":
         return spectral_solve(data.spectral, rhs)
+    # With the space axis sharded but no halo tables (spmd == {}), the ELL
+    # gather would force a per-matvec all-gather of x under GSPMD; tell
+    # cg_solve so it routes through the partitionable incidence form.
+    space_is_sharded = (
+        config.mesh_axes is not None and config.mesh_axes[1] > 1 and not spmd
+    )
     return cg_solve(
         ops,
         data.cg_op,
@@ -57,6 +63,7 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
         x0=state.phi,
         max_iters=config.cg_max_iters,
         rtol=None,  # traced data.cg_op.rtol (host-adapted, no recompile)
+        space_sharded=space_is_sharded,
         **spmd,
     )
 
@@ -284,12 +291,18 @@ def run_chunk_adaptive(
         table = kkt_table(config, data, state)
         org, scaled = table[:, 0], table[:, 1]
         err = jnp.nanmax(org[stop_idx])
-        done = jnp.all(org < tol) | (err <= next_checkpoint)
+        passed = jnp.all(org < tol)
+        done = passed | (err <= next_checkpoint)
 
         # org/scaled switch precedes the sigma update (host order).
         is_org = is_org | (jnp.nanmax(scaled) < 5 * tol)
 
-        adjust_now = (a == na) & (~done)
+        # Host order at a validation is checkpoint -> passed-check -> sigma
+        # adjust: a tolerance-checkpoint crossing that ends the segment must
+        # NOT suppress a sigma update scheduled at the same validation (the
+        # snapshot is unaffected: `apply_penalty_factor` keeps r*mu and r*E
+        # invariant, and the recovered checkpoint scales mu/E by r).
+        adjust_now = (a == na) & (~passed)
         col = jnp.where(is_org, org, scaled)
         prim_error = jnp.nanmax(col[prim_pos])
         dual_error = jnp.nanmax(col[dual_pos])

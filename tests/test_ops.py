@@ -327,3 +327,72 @@ def test_banded_operator_respects_storage_cap(mesh):
     _, angles, _ = triangle_quantities(vertices, triangles)
     lap = cotan_laplacian(triangles, angles, vertices.shape[0])
     assert build_banded_operator(lap, max_bytes=1024) is None
+
+
+def test_cg_per_shift_stopping(mesh, ops):
+    """Every shifted system must meet ITS OWN relative residual. An
+    aggregate (batch-summed) stopping criterion lets a dominant-norm shift
+    terminate the small-norm shifts under-converged."""
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    T = 5
+    dt = 1.0 / T
+    av = np.asarray(ops.av)
+    # eps > 0: every shifted system is nonsingular (no null-row deflation),
+    # so per-shift residuals can be checked directly against the matrix.
+    cg_op = build_cg_operator(
+        T, dt, av, lap, eps=1e-2, dtype=DT, deflation_k=8
+    )
+
+    rng = np.random.default_rng(21)
+    bh = rng.standard_normal((T + 1, vertices.shape[0]))
+    bh[0] *= 1e6  # 6 orders of magnitude of per-shift norm imbalance
+    u_time = np.asarray(cg_op.u_time)
+    rhs = u_time @ bh  # so the solver's time transform recovers bh exactly
+
+    rtol = 1e-6
+    x = np.asarray(
+        cg_solve(ops, cg_op, jnp.asarray(rhs), max_iters=3000, rtol=rtol)
+    )
+    xh = u_time.T @ x
+    shifts = np.asarray(cg_op.shifts)
+    lap_d = lap.toarray()
+    for a in range(T + 1):
+        lhs = -(lap_d @ xh[a] + shifts[a] * av * xh[a])
+        resid = np.linalg.norm(-bh[a] - lhs)
+        assert resid <= 5 * rtol * np.linalg.norm(bh[a]), (
+            f"shift {a} under-converged: {resid:.3e} vs "
+            f"{rtol * np.linalg.norm(bh[a]):.3e}"
+        )
+
+
+def test_ritz_pairs_disk_cache(mesh, ops, tmp_path, monkeypatch):
+    """Ritz pairs persist keyed by the exact (L, av, k): the second build of
+    the same problem reads them from disk instead of rerunning LOBPCG."""
+    from dots_socp_tpu.ops import laplacian as lap_mod
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    av = np.asarray(ops.av)
+    monkeypatch.setenv("DOTS_SOCP_CACHE_DIR", str(tmp_path))
+
+    calls = []
+    orig = lap_mod._ritz_pairs
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(lap_mod, "_ritz_pairs", counting)
+
+    q1, w1 = lap_mod._ritz_pairs_cached(lap, av, 8)
+    assert len(calls) == 1
+    q2, w2 = lap_mod._ritz_pairs_cached(lap, av, 8)
+    assert len(calls) == 1, "second build must hit the disk cache"
+    np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(w1, w2)
+
+    lap_mod._ritz_pairs_cached(lap, av, 4)  # different k -> different key
+    assert len(calls) == 2

@@ -189,3 +189,30 @@ def test_snapshot_resume_matches_uninterrupted(plane_geometry, tmp_path):
 
     np.testing.assert_allclose(sol_resumed["mu"], sol_full["mu"], rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(sol_resumed["phi"], sol_full["phi"], rtol=1e-8, atol=1e-12)
+
+
+def test_adaptive_segment_sigma_update_at_checkpoint_crossing():
+    """A tolerance-checkpoint crossing that ends the device segment must not
+    suppress a sigma update scheduled at that same validation: the host
+    order is checkpoint -> passed-check -> sigma adjust (reference
+    `socp/solver_socp.py:789-823`)."""
+    import __graft_entry__ as graft
+    from dots_socp_tpu.solver.step import (
+        ADAPTIVE_HEADER,
+        ADAPTIVE_REC_SIZE,
+        run_chunk_adaptive,
+    )
+
+    config, data, state = graft._build(8, 4, "float64", pad_multiple=1)
+    # First sigma-adjust boundary is iteration 3 (last_adjust=0, gap 3).
+    # j_first=4 plans the first validation exactly there; a huge checkpoint
+    # threshold makes the crossing fire at that same validation.
+    aux = np.asarray([0.0, 0.0, 1e-12, 1e6], dtype=np.float64)
+    _, packed = run_chunk_adaptive(
+        config, data, state, np.int32(0), np.int32(64), np.int32(4), aux, 16
+    )
+    packed = np.asarray(packed)
+    assert int(packed[0]) == 1  # segment ended at the crossing validation
+    assert int(packed[2]) == 3  # last_adjust_it advanced to the boundary
+    rec = packed[ADAPTIVE_HEADER : ADAPTIVE_HEADER + ADAPTIVE_REC_SIZE]
+    assert rec[1] == 1.0, "sigma adjust suppressed by the checkpoint crossing"

@@ -76,7 +76,21 @@ def bench_tpu():
 
 
 def bench_reference_cpu():
-    """Time the reference solver's per-iteration cost on the same problem."""
+    """Time the reference solver's per-iteration cost on the same problem.
+
+    Measured at BOTH of the reference's threading configs and reported as
+    the best (fair-baseline) rate:
+      * is_multi_threads=True -- the documented default: 2-way step overlap
+        (Laplacian solve || SOC projection on Python threads,
+        `socp/solver_socp.py:674-696`) + numexpr on min(4, cores//2)
+        threads (`:131`);
+      * is_multi_threads=False -- no overlap, numexpr on min(8, cores).
+    The numexpr shim (tests/reference_shims) honors set_num_threads with
+    real chunked thread parallelism, so both configs exercise the CPU the
+    way real numexpr would.
+
+    Returns {"iters_per_sec": best, "per_config": {...}} or None.
+    """
     shim_dir = Path(__file__).parent / "tests" / "reference_shims"
     ref_dir = Path("/root/reference")
     if not ref_dir.exists():
@@ -101,7 +115,7 @@ def bench_reference_cpu():
         # per-dispatch latency): difference two runs at nit=2 and
         # nit=2+REF_ITERS so the reference's one-time setup (factorizations,
         # weight assembly) cancels and only the per-iteration loop remains.
-        def run(nit):
+        def run(nit, multi_threads):
             t0 = time.perf_counter()
             ref_solver(
                 N_TIME,
@@ -109,13 +123,20 @@ def bench_reference_cpu():
                 nit=nit,
                 tol=1e-14,
                 time_limit=600,
-                is_multi_threads=False,
+                is_multi_threads=multi_threads,
             )
             return time.perf_counter() - t0
 
-        t_short = run(2)
-        t_long = run(2 + REF_ITERS)
-        return REF_ITERS / max(t_long - t_short, 1e-9)
+        per_config = {}
+        for multi_threads in (True, False):
+            t_short = run(2, multi_threads)
+            t_long = run(2 + REF_ITERS, multi_threads)
+            rate = REF_ITERS / max(t_long - t_short, 1e-9)
+            per_config[f"is_multi_threads={multi_threads}"] = round(rate, 4)
+        return {
+            "iters_per_sec": max(per_config.values()),
+            "per_config": per_config,
+        }
     except Exception:
         return None
 
@@ -127,12 +148,16 @@ def main():
     iters_per_sec, raw_iters_per_sec, config = bench_tpu()
 
     ref_file = Path(__file__).parent / ".bench_reference_cpu.json"
+    ref_info = None
     if ref_file.exists():
-        ref_iters_per_sec = json.loads(ref_file.read_text())["iters_per_sec"]
-    else:
-        ref_iters_per_sec = bench_reference_cpu()
-        if ref_iters_per_sec is not None:
-            ref_file.write_text(json.dumps({"iters_per_sec": ref_iters_per_sec}))
+        ref_info = json.loads(ref_file.read_text())
+        if "per_config" not in ref_info:
+            ref_info = None  # stale single-config cache; re-measure fairly
+    if ref_info is None:
+        ref_info = bench_reference_cpu()
+        if ref_info is not None:
+            ref_file.write_text(json.dumps(ref_info))
+    ref_iters_per_sec = ref_info["iters_per_sec"] if ref_info else None
 
     vs_baseline = (
         iters_per_sec / ref_iters_per_sec if ref_iters_per_sec else float("nan")
@@ -154,8 +179,14 @@ def main():
                 # exactly as the reference's setup does on CPU.
                 # raw = wall-clock of the long run including the round trip.
                 "raw_iters_per_sec": round(raw_iters_per_sec, 3),
+                # Fair baseline: best of the reference's two threading
+                # configs with a thread-honoring numexpr shim (see
+                # bench_reference_cpu docstring).
                 "reference_iters_per_sec": round(ref_iters_per_sec, 4)
                 if ref_iters_per_sec
+                else None,
+                "reference_per_config": ref_info.get("per_config")
+                if ref_info
                 else None,
             }
         )

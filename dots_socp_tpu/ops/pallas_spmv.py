@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for the cotan-Laplacian SpMV: windowed dense matmul.
+
+This is the hot op of the large-mesh CG path (the T+1 shifted spatial
+solves that replace the reference's cached SuperLU back-substitutions,
+`utils/laplacian_inverse_socp.py:34-59`). Round-2 measurement put the
+padded-ELL gather form at ~5% of streaming bandwidth: TPU row gathers
+move one (T+1)-lane row per request, so V*D ~ 370k scattered HBM reads
+per matvec dominate. Mosaic has no usable global gather (probed: only
+equal-shape gathers *within one 8x128 tile* lower), so the kernel trades
+gathers for streaming:
+
+  1. Reverse-Cuthill-McKee orders the vertices so each row's neighbors
+     fall in a narrow index window (bandwidth ~ sqrt(V) on surface meshes).
+  2. Rows are grouped into tiles of TV rows; each tile's neighbor columns
+     span at most W consecutive permuted indices (W = TV + 2*bandwidth-ish,
+     measured per mesh).
+  3. The tile's W x (T+1) slice of x is DMA'd into VMEM at an *element*
+     granularity start (double-buffered against the matmul), the tile's
+     dense (TV, W) window of L streams through the normal pipeline, and
+     one MXU matmul produces the TV output rows for all T+1 time modes.
+
+Everything the kernel touches streams contiguously from HBM: traffic is
+V*W*4 bytes of matrix tiles per matvec (vs ~V*(T+1)*D*4 of *scattered*
+reads for ELL), and the MXU does the contraction. The x vector must be
+pre-permuted into RCM order; `cg_solve` permutes once per solve (entry +
+exit), not per matvec, and carries permuted preconditioner arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WindowOperator(NamedTuple):
+    """RCM-windowed dense-tile form of the (V, V) cotan Laplacian.
+
+    a_tiles  : (n_tiles * TV, W) f32 -- dense window rows of P L P^T; row
+               t*TV + r holds permuted row t*TV+r over columns
+               [starts[t], starts[t] + W)
+    starts   : (n_tiles,) i32 -- window start (permuted column) per tile
+    perm     : (V,) i32 -- new position -> old index (x_p = x[perm])
+    iperm    : (V,) i32 -- inverse permutation
+    av_p     : (V,) permuted vertex areas (for the shifted-system term)
+    jacobi_p : (T+1, V) permuted Jacobi preconditioner diagonal
+    s_p      : (V,) permuted av^{-1/2}
+    defl_q_p : (V, k) row-permuted Ritz vectors
+
+    TV and W are implied by the array shapes (static under jit).
+    """
+
+    a_tiles: jnp.ndarray
+    starts: jnp.ndarray
+    perm: jnp.ndarray
+    iperm: jnp.ndarray
+    av_p: jnp.ndarray
+    jacobi_p: jnp.ndarray
+    s_p: jnp.ndarray
+    defl_q_p: jnp.ndarray
+
+
+def build_window_tiles(
+    lap_space, tile_rows: int = 256, max_bytes: int = 2 << 30
+):
+    """Host-side: RCM-order the sparse Laplacian and densify per-tile windows.
+
+    Returns (a_tiles, starts, perm, iperm) as NumPy arrays, or None when the
+    dense windows would exceed `max_bytes` (pathological orderings).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    csr = sp.csr_matrix(lap_space)
+    csr.sum_duplicates()
+    v = csr.shape[0]
+    tv = int(tile_rows)
+    perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+    p = csr[perm][:, perm].tocsr()
+
+    n_tiles = -(-v // tv)
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    width = 8  # never zero; multiple-of-8 rows DMA cleanly
+    spans = []
+    for t in range(n_tiles):
+        lo, hi = t * tv, min((t + 1) * tv, v)
+        cols = p.indices[p.indptr[lo] : p.indptr[hi]]
+        if cols.size == 0:
+            spans.append((0, 0))
+            continue
+        cmin, cmax = int(cols.min()), int(cols.max())
+        spans.append((cmin, cmax))
+        width = max(width, cmax - cmin + 1)
+    width = -(-width // 8) * 8
+
+    if n_tiles * tv * width * 4 > max_bytes:
+        return None
+
+    a_tiles = np.zeros((n_tiles * tv, width), dtype=np.float32)
+    rows = np.repeat(np.arange(v), np.diff(p.indptr))
+    for t in range(n_tiles):
+        starts[t] = spans[t][0]
+    a_tiles[rows, p.indices - starts[rows // tv]] = p.data.astype(np.float32)
+
+    iperm = np.empty(v, dtype=np.int32)
+    iperm[perm] = np.arange(v, dtype=np.int32)
+    return a_tiles, starts, perm.astype(np.int32), iperm
+
+
+def _window_kernel(w_static, lanes):
+    """Kernel factory closing over the static window width and lane count."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(starts_ref, x_hbm, a_ref, o_ref, xwin_ref, sems):
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+        nxt = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
+
+        def window_dma(tile, sl):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(starts_ref[tile], w_static), :],
+                xwin_ref.at[sl],
+                sems.at[sl],
+            )
+
+        # Warm-up: tile 0's window; steady state: prefetch tile i+1's window
+        # while tile i's matmul runs (double buffer).
+        @pl.when(i == 0)
+        def _():
+            window_dma(0, slot).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            window_dma(i + 1, nxt).start()
+
+        window_dma(i, slot).wait()
+        # Only the first `lanes` of the 128-lane DMA buffer hold data; the
+        # static slice keeps the MXU contraction at the real mode count.
+        # HIGHEST: plain f32 inputs go through the MXU as single-pass bf16
+        # (measured ~7e-4 relative error -- poisons CG below rtol ~1e-3);
+        # the multi-pass split recovers f32 accuracy (~3e-7 measured).
+        o_ref[:] = jnp.dot(
+            a_ref[:],
+            xwin_ref[slot][:, :lanes],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    return kernel
+
+
+#: Lane width of the kernel's x/output buffers. Mosaic only compiles the
+#: manual window DMA for 128-lane destinations (probed: (W, 32) VMEM DMA
+#: targets and lane-sliced DMA sources both crash the compiler), so the
+#: T+1 time modes are zero-padded up to one full lane register.
+_LANES = 128
+
+
+def window_matvec(op: WindowOperator, x, interpret: bool | None = None):
+    """P L P^T @ x for x (..., V) already in PERMUTED (RCM) order.
+
+    Leading axes (the T+1 time modes, <= 128) ride the matmul lanes.
+    interpret=None auto-selects the Pallas interpreter off-TPU (tests on
+    the CPU backend).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    v = op.perm.shape[0]
+    n_tiles = op.starts.shape[0]
+    rows, w = op.a_tiles.shape
+    tv = rows // n_tiles
+    lead = x.shape[:-1]
+    lanes = int(np.prod(lead)) if lead else 1
+    if lanes > _LANES:
+        raise ValueError(
+            f"window_matvec supports at most {_LANES} leading modes, got {lanes}"
+        )
+
+    # One fused transpose+pad: vertex-major rows, zero lanes beyond the T+1
+    # modes, W bounds rows so every window slice stays in range.
+    xt = jnp.zeros((v + w, _LANES), jnp.float32)
+    xt = xt.at[:v, :lanes].set(
+        jnp.moveaxis(x, -1, 0).reshape(v, lanes).astype(jnp.float32)
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec((tv, w), lambda i, s: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((tv, lanes), lambda i, s: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, w, _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _window_kernel(w, lanes),
+        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(op.starts, xt, op.a_tiles)
+    out = out[:v].astype(x.dtype)
+    if not lead:
+        return out[:, 0]
+    return jnp.moveaxis(out.reshape((v,) + lead), 0, -1)

@@ -109,6 +109,11 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
         )
     cg_op = None
     if data.cg_op is not None:
+        # The Pallas window operator is single-device only (build_problem
+        # disables it when sharding); replicate defensively if present.
+        window_sh = None
+        if data.cg_op.window is not None:
+            window_sh = jax.tree.map(lambda _: rep, data.cg_op.window)
         cg_op = CGOperator(
             shifts=rep,
             jacobi=s(None, "space"),
@@ -125,6 +130,7 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
             # all-gather of x (the blocked-layout/halo path avoids this).
             ell_idx=s("space", None),
             ell_w=s("space", None),
+            window=window_sh,
         )
     halo = None
     if data.halo is not None:

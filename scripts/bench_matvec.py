@@ -4,6 +4,9 @@ Variants (all computing L_space @ x for x of shape (T+1, V)):
   graddiv : matrix-free div(area * grad(x)) through triangle incidence
   ell     : padded-ELL row-layout neighbor gather
   banded  : RCM block-banded dense tiles, shifted batched MXU matmuls
+  pallas  : RCM-windowed dense tiles, Pallas kernel (manual double-buffered
+            x-window DMA + one MXU matmul per tile); timed in permuted
+            space, as the CG loop runs it (permutes amortize per solve)
 
 Each variant is timed as a chain of `iters` dependent applications inside
 one dispatch (normalized each step so magnitudes stay bounded), differenced
@@ -25,6 +28,8 @@ def main():
     ap.add_argument("--n_time", type=int, default=31)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--tile_rows", type=int, default=256)
+    ap.add_argument("--skip", default="", help="comma-separated variants")
     args = ap.parse_args()
 
     import jax
@@ -53,11 +58,13 @@ def main():
         ops = build_surface_ops(vertices, triangles, dtype=dtype)
         cg_op = build_cg_operator(
             args.n_time, 1.0 / args.n_time, np.asarray(ops.av), lap,
-            dtype=dtype, deflation_k=0,
+            dtype=dtype, deflation_k=0, use_pallas_spmv=True,
+            spmv_tile_rows=args.tile_rows,
         )
         band = build_banded_operator(lap, dtype=dtype)
     dev = jax.devices()[0]
     ops, cg_op, band = jax.device_put((ops, cg_op, band), dev)
+    wop = cg_op.window
 
     rng = np.random.default_rng(0)
     x0 = jax.device_put(
@@ -67,38 +74,61 @@ def main():
         dev,
     )
 
+    from dots_socp_tpu.ops.pallas_spmv import window_matvec
+
+    # (operator pytree, matvec, pre-permute, post-permute): pre/post run
+    # once per chain, the way cg_solve amortizes the RCM permutation over a
+    # whole inner solve. The operator is a jit ARGUMENT, not a closure
+    # capture -- captured arrays get serialized into the program body and
+    # blow the remote-compile request size limit at large V (HTTP 413).
+    identity = lambda o, y: y
     variants = {
-        "graddiv": lambda y: laplacian_apply(ops, y),
-        "ell": lambda y: ell_matvec(cg_op, y),
-        "banded": lambda y: banded_matvec(band, y),
+        "graddiv": (ops, laplacian_apply, identity, identity),
+        "ell": (cg_op, lambda o, y: ell_matvec(o, y), identity, identity),
+        "banded": (band, lambda o, y: banded_matvec(o, y), identity, identity),
+        "pallas": (
+            wop,
+            lambda o, y: window_matvec(o, y),
+            lambda o, y: y[:, o.perm],
+            lambda o, y: y[:, o.iperm],
+        ),
     }
+    for name in filter(None, args.skip.split(",")):
+        variants.pop(name, None)
 
     results = {}
-    for name, mv in variants.items():
+    for name, (op_tree, mv, pre, post) in variants.items():
         @jax.jit
-        def chain(y, n, mv=mv):
+        def chain(o, y, n, mv=mv, pre=pre, post=post):
             def body(_, y):
-                y = mv(y)
+                y = mv(o, y)
                 return y * jax.lax.rsqrt(jnp.sum(y * y) + 1e-30)
-            return jax.lax.fori_loop(0, n, body, y)
+            return post(o, jax.lax.fori_loop(0, n, body, pre(o, y)))
 
         # compile + warm both trip counts
-        np.asarray(chain(x0, np.int32(1)))[0, 0]
-        np.asarray(chain(x0, np.int32(1 + args.iters)))[0, 0]
+        np.asarray(chain(op_tree, x0, np.int32(1)))[0, 0]
+        np.asarray(chain(op_tree, x0, np.int32(1 + args.iters)))[0, 0]
 
         t0 = time.perf_counter()
-        np.asarray(chain(x0, np.int32(1)))[0, 0]
+        np.asarray(chain(op_tree, x0, np.int32(1)))[0, 0]
         t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        np.asarray(chain(x0, np.int32(1 + args.iters)))[0, 0]
+        np.asarray(chain(op_tree, x0, np.int32(1 + args.iters)))[0, 0]
         t_long = time.perf_counter() - t0
         us = (t_long - t_short) / args.iters * 1e6
         results[name] = round(us, 1)
 
-    # Cross-check the three variants agree numerically.
-    outs = [np.asarray(mv(x0)) for mv in variants.values()]
+    # Cross-check the variants agree numerically (one application each).
+    outs = [
+        np.asarray(
+            jax.jit(lambda o, y, f=mv, p=pre, q=post: q(o, f(o, p(o, y))))(
+                op_tree, x0
+            )
+        )
+        for op_tree, mv, pre, post in variants.values()
+    ]
     agree = max(
-        float(np.max(np.abs(outs[0] - o))) for o in outs[1:]
+        (float(np.max(np.abs(outs[0] - o))) for o in outs[1:]), default=0.0
     )
     print(
         json.dumps(
@@ -109,6 +139,8 @@ def main():
                 "variants": results,
                 "max_disagreement": agree,
                 "band_diagonals": int(band.blocks.shape[0]) if band else None,
+                "window_width": int(wop.a_tiles.shape[1]) if wop else None,
+                "tile_rows": args.tile_rows,
             }
         ),
         flush=True,

@@ -396,3 +396,70 @@ def test_ritz_pairs_disk_cache(mesh, ops, tmp_path, monkeypatch):
 
     lap_mod._ritz_pairs_cached(lap, av, 4)  # different k -> different key
     assert len(calls) == 2
+
+
+def test_pallas_window_spmv_matches_assembled(mesh, ops):
+    """The RCM-windowed Pallas SpMV (interpret mode on CPU) must equal the
+    assembled cotan matrix, in permuted coordinates."""
+    from dots_socp_tpu.ops.pallas_spmv import (
+        WindowOperator,
+        build_window_tiles,
+        window_matvec,
+    )
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    built = build_window_tiles(lap, tile_rows=64)
+    assert built is not None
+    a_tiles, starts, perm, iperm = built
+    dummy = jnp.zeros(0)
+    wop = WindowOperator(
+        a_tiles=jnp.asarray(a_tiles),
+        starts=jnp.asarray(starts),
+        perm=jnp.asarray(perm),
+        iperm=jnp.asarray(iperm),
+        av_p=dummy, jacobi_p=dummy, s_p=dummy, defl_q_p=dummy,
+    )
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((6, vertices.shape[0])).astype(np.float32)
+    xp = jnp.asarray(x[:, perm])
+    y_p = np.asarray(window_matvec(wop, xp, interpret=True))
+    y = y_p[:, iperm]
+    ref = (lap @ x.T).T
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_cg_solve_window_path_matches_ell(mesh, ops):
+    """cg_solve through the Pallas window matvec (interpret mode) must agree
+    with the ELL path on the same shifted systems."""
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    T = 5
+    dt = 1.0 / T
+    av = np.asarray(ops.av)
+
+    op_ell = build_cg_operator(
+        T, dt, av, lap, dtype=DT, deflation_k=8, use_pallas_spmv=False
+    )
+    op_win = build_cg_operator(
+        T, dt, av, lap, dtype=DT, deflation_k=8, use_pallas_spmv=True,
+        spmv_tile_rows=64,
+    )
+    assert op_win.window is not None
+
+    rng = np.random.default_rng(32)
+    rhs = rng.standard_normal((T + 1, vertices.shape[0]))
+    rhs -= rhs.mean()
+
+    # The window kernel computes the matvec in f32; match tolerances.
+    x_ell = np.asarray(
+        cg_solve(ops, op_ell, jnp.asarray(rhs), max_iters=600, rtol=1e-6)
+    )
+    x_win = np.asarray(
+        cg_solve(ops, op_win, jnp.asarray(rhs), max_iters=600, rtol=1e-5)
+    )
+    diff = x_ell - x_win
+    assert np.abs(diff - diff.mean()).max() < 5e-4

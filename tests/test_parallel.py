@@ -136,3 +136,68 @@ def test_halo_path_cuts_collective_bytes():
     assert measured["halo"] < 0.35 * measured["gspmd"], (
         f"halo path should cut collective bytes by >65%: {measured}"
     )
+
+
+def test_two_process_distributed_solve_matches_single(tmp_path):
+    """`jax.distributed.initialize` actually executes: two CPU subprocesses
+    (one device each, coordinator on localhost) run the sharded solve over a
+    2x1 ("time","space") mesh spanning both processes; process 0's recovered
+    solution must match an in-process single-device run."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    repo_root = Path(__file__).resolve().parents[1]
+    worker = Path(__file__).parent / "distributed_worker.py"
+    out = tmp_path / "two_proc.npz"
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+        "PYTHONPATH": str(repo_root),
+    }
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, str(worker),
+                "--process_id", str(pid),
+                "--num_processes", "2",
+                "--coordinator", f"127.0.0.1:{port}",
+                "--out", str(out),
+            ],
+            env=env, cwd=repo_root,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    logs = [p.communicate(timeout=900)[0] for p in procs]
+    for p, log in zip(procs, logs):
+        if p.returncode != 0:
+            lowered = log.lower()
+            if "unimplemented" in lowered or "not implemented" in lowered:
+                pytest.skip(f"multi-process CPU collectives unsupported: "
+                            f"{log[-500:]}")
+            raise AssertionError(f"worker failed:\n{log[-4000:]}")
+    assert out.exists(), logs[0][-2000:]
+
+    from dots_socp_tpu.data.loader import load_example
+    from dots_socp_tpu.geometry.normalize import normalize_geometry
+    from dots_socp_tpu.solver import solver_socp
+
+    _, geometry, _ = load_example(
+        example_name="plane", kwargs_generating_mesh={"n": 12}
+    )
+    geometry, _ = normalize_geometry(geometry)
+    single, _ = solver_socp(
+        6, geometry, nit=25, tol=1e-12, time_limit=300, precision="float64"
+    )
+    two = np.load(out)
+    np.testing.assert_allclose(two["mu"], single["mu"], rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(two["E"], single["E"], rtol=1e-9, atol=1e-12)

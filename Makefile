@@ -47,32 +47,17 @@ EXAMPLES = airplane 		refined_airplane \
 		   ring knots_3 knots_5 hills
 CONGESTIONs = 0.00 0.01 0.05
 
-PARAM = --ntime=31 --nit=10000 --time_limit=$(time_limit) --tol=$(tol) \
-		--save --outdir=$(OUTDIR_MAIN)
-
-EXTRA_HILLS = --power_perceptual=0.5
-
+# One in-process sweep instead of one process per run: meshes are padded
+# into shared shape buckets so XLA compiles one solver graph per bucket,
+# a warmup absorbs each compile outside the measured runs, and each run's
+# table row carries a Converged annotation (yes | time-capped). Same
+# outputs as the reference's per-process loop: per-congestion info.log +
+# comparison_table.{tex,html}.
 main:
 	@mkdir -p "$(OUTDIR_MAIN)"
-	@for c_value in $(CONGESTIONs); do \
-		out_dir="$(OUTDIR_MAIN)/congestion_$${c_value//./_}"; \
-		mkdir -p "$${out_dir}"; \
-		info_log_file="$${out_dir}/info.log"; \
-		for example in $(EXAMPLES); do \
-			_extra=''; \
-			if [ "$${example}" = "hills" ]; then _extra=$(EXTRA_HILLS); fi; \
-			echo "Running: example=$${example}, congestion=$${c_value}" >&2; \
-			$(PYTHON) replication/main.py \
-				$(PARAM) \
-				--example=$${example} \
-				--congestion=$${c_value} \
-				--log_file=$${info_log_file} \
-				--outdir=$${out_dir} \
-				$${_extra}; \
-		done; \
-		$(PYTHON) replication/log2table.py --input "$${info_log_file}" \
-			--output "$${out_dir}/comparison_table.tex" "$${out_dir}/comparison_table.html"; \
-	done;
+	$(PYTHON) replication/sweep.py --ntime=31 --nit=10000 \
+		--time_limit=$(time_limit) --tol=$(tol) --outdir=$(OUTDIR_MAIN) \
+		--congestions $(CONGESTIONs) --examples $(EXAMPLES)
 
 # =======================================
 # Error versus exact transportation

@@ -243,6 +243,21 @@ def parse_args(parser=None, return_parser=False):
         help="Capture a jax.profiler device trace of the solve into this "
         "directory (inspect with TensorBoard or xprof)",
     )
+    exp_group.add_argument(
+        "--pad_multiple",
+        type=int,
+        default=None,
+        help="Pad vertex/triangle counts to this multiple (default: TPU "
+        "sublane alignment). Bucketing meshes to shared padded shapes lets "
+        "a sweep reuse one compiled graph across examples",
+    )
+    exp_group.add_argument(
+        "--max_dense_vertices",
+        type=int,
+        default=None,
+        help="Largest padded vertex count solved with the dense spectral "
+        "factor; larger problems take the matrix-free CG path",
+    )
 
     if return_parser:
         return parser

@@ -115,6 +115,10 @@ _KEY_MAPPING = {
     "laplacian_mode": "laplacian_mode",
     "snapshot_path": "snapshot_path",
     "snapshot_every": "snapshot_every",
+    # TPU shape controls: bucketing meshes to shared padded shapes lets a
+    # sweep reuse one compiled graph across examples (see replication/sweep.py).
+    "pad_multiple": "pad_multiple",
+    "max_dense_vertices": "max_dense_vertices",
 }
 
 

@@ -102,7 +102,7 @@ def build_spectral_factor(
         use_host_eigh = True
 
     if use_host_eigh:
-        w, q = np.linalg.eigh(c)
+        w, q = _spectral_eigh_cached(lap_space, av, c, dtype)
         w = jnp.asarray(w, dtype=dtype)
         q = jnp.asarray(q, dtype=dtype)
     else:
@@ -121,6 +121,59 @@ def build_spectral_factor(
         q=q,
         invfac=invfac,
     )
+
+
+def _spectral_eigh_cached(lap_space, av, c, dtype, min_cache_v: int = 4096):
+    """Host eigh of C = av^{-1/2}(-L)av^{-1/2} with an on-disk cache.
+
+    The one-time LAPACK eigh is O(V^3) (~2 min at V=12k on this host) and
+    depends only on (L_space, av); sweeps re-solving the same mesh at
+    several congestion levels pay it once. Small factors (V < min_cache_v)
+    are not worth the disk round trip. Cache IO failures fall back to
+    computing. Shares the cache directory with the Ritz pairs.
+    """
+    import hashlib
+    import os
+
+    v = av.shape[0]
+    if v < min_cache_v or not hasattr(lap_space, "tocsr"):
+        return np.linalg.eigh(c)
+
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(lap_space)
+    csr.sum_duplicates()
+    dtype_tag = "f64" if dtype == jnp.float64 else "f32"
+    h = hashlib.sha256()
+    h.update(dtype_tag.encode())
+    for part in (
+        np.int64([v]),
+        csr.indptr.astype(np.int64),
+        csr.indices.astype(np.int64),
+        np.asarray(csr.data, dtype=np.float64),
+        np.asarray(av, dtype=np.float64),
+    ):
+        h.update(part.tobytes())
+    cache_dir = _ritz_cache_dir()
+    path = os.path.join(cache_dir, f"eigh_{h.hexdigest()[:32]}.npz")
+    try:
+        with np.load(path) as f:
+            return f["w"], f["q"]
+    except (OSError, KeyError, ValueError):
+        pass
+    w, q = np.linalg.eigh(c)
+    # Store at the consumer dtype: halves the disk footprint for f32 runs
+    # (the factor is cast to `dtype` immediately after anyway).
+    store = np.float64 if dtype == jnp.float64 else np.float32
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, w=w.astype(store), q=q.astype(store))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return w, q
 
 
 def spectral_solve(factor: SpectralFactor, rhs):

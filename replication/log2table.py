@@ -42,6 +42,14 @@ FIELDS = [
     ),
 ]
 
+# Optional per-run annotation written by replication/sweep.py: "yes" or
+# "time-capped". Only present in sweep logs; the column is emitted only
+# when at least one block carries it (plain runs keep the reference's
+# exact column set).
+OPTIONAL_FIELDS = [
+    ("Converged", re.compile(r"^Converged:\s*(\S.*)$")),
+]
+
 
 def parse_log(file_path):
     """Collect one record per experiment block; timestamps prefixes (from
@@ -62,6 +70,12 @@ def parse_log(file_path):
                     record[name] = match.group(1)
                     break
         if len(record) == len(FIELDS):
+            for name, pattern in OPTIONAL_FIELDS:
+                for ln in lines[start:end]:
+                    match = pattern.match(ln)
+                    if match:
+                        record[name] = match.group(1).strip()
+                        break
             records.append(record)
         else:
             warnings.warn(
@@ -80,9 +94,10 @@ def log2table(file_path, out_tables):
 
     df = pd.DataFrame(records)
     shared = df.groupby("Example")[["Vertices", "Triangles"]].first()
-    metrics = df.groupby("Example")[
-        ["Iterations", "Time [seconds]", "Transport Cost"]
-    ].first()
+    metric_cols = ["Iterations", "Time [seconds]", "Transport Cost"]
+    if "Converged" in df.columns:
+        metric_cols.append("Converged")
+    metrics = df.groupby("Example")[metric_cols].first()
     metrics["Transport Cost"] = pd.to_numeric(
         metrics["Transport Cost"], errors="coerce"
     ).round(4)

@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--time_limit", type=float, default=3000)
     ap.add_argument("--log_file", default=None)
     ap.add_argument("--skip_histogram", action="store_true")
+    ap.add_argument("--snapshot", default=None,
+                    help="crash-safe state snapshot path (resumes if present)")
+    ap.add_argument("--max_chunk", type=int, default=128,
+                    help="iterations per device dispatch (shorter segments "
+                    "bound the loss when the remote TPU worker flakes)")
     args = ap.parse_args()
 
     import numpy as np
@@ -47,6 +52,9 @@ def main():
         tol=args.tol,
         time_limit=args.time_limit,
         precision="float32",
+        max_chunk=args.max_chunk,
+        snapshot_path=args.snapshot,
+        snapshot_every=120.0,
     )
     wall = time.perf_counter() - t0
     history.print_end_history()

@@ -463,3 +463,34 @@ def test_cg_solve_window_path_matches_ell(mesh, ops):
     )
     diff = x_ell - x_win
     assert np.abs(diff - diff.mean()).max() < 5e-4
+
+
+def test_spectral_eigh_disk_cache(mesh, ops, tmp_path, monkeypatch):
+    """The one-time host eigh persists keyed by (L, av, dtype); a second
+    build reads it from disk (sweeps re-solving the same mesh at several
+    congestion levels pay the O(V^3) eigh once)."""
+    from dots_socp_tpu.ops import laplacian as lap_mod
+
+    vertices, triangles = mesh
+    _, angles, _ = triangle_quantities(vertices, triangles)
+    lap = cotan_laplacian(triangles, angles, vertices.shape[0])
+    av = np.asarray(ops.av)
+    s = 1.0 / np.sqrt(av)
+    c = -(s[:, None] * lap.toarray() * s[None, :])
+    c = 0.5 * (c + c.T)
+    monkeypatch.setenv("DOTS_SOCP_CACHE_DIR", str(tmp_path))
+
+    calls = []
+    orig = np.linalg.eigh
+
+    def counting(m):
+        calls.append(1)
+        return orig(m)
+
+    monkeypatch.setattr(np.linalg, "eigh", counting)
+    w1, q1 = lap_mod._spectral_eigh_cached(lap, av, c, DT, min_cache_v=1)
+    assert len(calls) == 1
+    w2, q2 = lap_mod._spectral_eigh_cached(lap, av, c, DT, min_cache_v=1)
+    assert len(calls) == 1, "second build must hit the disk cache"
+    np.testing.assert_array_equal(w1, w2)
+    np.testing.assert_array_equal(q1, q2)

@@ -286,6 +286,9 @@ def _ritz_pairs_cached(lap_space, av: np.ndarray, k: int, seed: int = 7):
 
     q, w = _ritz_pairs(csr, av, k, seed)
 
+    if q.shape[1] == 0:
+        return q, w  # never cache a failed computation
+
     try:
         os.makedirs(cache_dir, exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
@@ -298,12 +301,18 @@ def _ritz_pairs_cached(lap_space, av: np.ndarray, k: int, seed: int = 7):
 
 
 def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
-    """Approximate the k smallest eigenpairs of C = av^{-1/2}(-L)av^{-1/2}
-    (host side, one-time): LOBPCG with Jacobi preconditioning, then a
-    Rayleigh-Ritz cleanup. Approximate accuracy suffices -- the pairs feed a
-    preconditioner, not a direct solve."""
+    """The k smallest eigenpairs of C = av^{-1/2}(-L)av^{-1/2} (host side,
+    one-time), for the CG deflation preconditioner.
+
+    Shift-invert Lanczos: factorize C + delta*I once with SuperLU (2-D mesh
+    fill-in keeps this cheap even at V ~ 100k) and run ARPACK on the
+    inverse. This replaces the round-2 LOBPCG pipeline, which silently
+    returned EMPTY at V >= 46k -- the large-mesh deflation never actually
+    engaged, leaving Jacobi-only CG at ~400+ inner iterations. LOBPCG
+    remains the fallback when the factorization fails. Any failure
+    degrades to Jacobi-only preconditioning (empty deflation)."""
     import scipy.sparse as sp
-    from scipy.sparse.linalg import LinearOperator, lobpcg
+    from scipy.sparse.linalg import LinearOperator, eigsh, lobpcg, splu
 
     v = av.shape[0]
     k = int(min(k, max(v // 4, 1)))
@@ -311,23 +320,40 @@ def _ritz_pairs(lap_space, av: np.ndarray, k: int, seed: int = 7):
         return np.zeros((v, 0)), np.zeros(0)
     s = 1.0 / np.sqrt(av)
     c = -sp.csr_matrix(lap_space)
-    c = sp.diags(s) @ c @ sp.diags(s)
-    diag = np.maximum(c.diagonal(), 1e-30)
-    precond = LinearOperator((v, v), matvec=lambda x: x / diag)
-    rng = np.random.default_rng(seed)
-    x0 = rng.standard_normal((v, k))
-    x0[:, 0] = np.sqrt(av)  # known null vector of C
-    # The whole pipeline is best-effort: LOBPCG may fail outright, or return
-    # NaN/non-converged vectors that crash the QR / Rayleigh-Ritz cleanup.
-    # Any failure degrades to Jacobi-only preconditioning (empty deflation).
+    c = (sp.diags(s) @ c @ sp.diags(s)).tocsc()
+    diag_max = float(np.max(c.diagonal(), initial=1.0))
+
     with np.errstate(all="ignore"):
         try:
+            delta = 1e-8 * diag_max  # C is PSD; makes C + delta*I PD
+            lu = splu(c + delta * sp.identity(v, format="csc"))
+            op_inv = LinearOperator((v, v), matvec=lu.solve)
+            w, q = eigsh(
+                c,
+                k=k,
+                sigma=-delta,
+                which="LM",  # nearest sigma => smallest eigenvalues of C
+                OPinv=op_inv,
+                v0=np.sqrt(av),  # known null vector of C
+                tol=1e-8,
+            )
+            if np.isfinite(q).all() and np.isfinite(w).all():
+                return q, np.maximum(w, 0.0)
+        except Exception:
+            pass
+        # Fallback: Jacobi-preconditioned LOBPCG + Rayleigh-Ritz cleanup.
+        try:
+            precond = LinearOperator(
+                (v, v), matvec=lambda x: x / np.maximum(c.diagonal(), 1e-30)
+            )
+            rng = np.random.default_rng(seed)
+            x0 = rng.standard_normal((v, k))
+            x0[:, 0] = np.sqrt(av)
             w, q = lobpcg(
                 c, x0, M=precond, largest=False, tol=1e-4, maxiter=128
             )
             if not np.isfinite(q).all():
                 return np.zeros((v, 0)), np.zeros(0)
-            # Rayleigh-Ritz: orthonormalize, re-diagonalize in the subspace.
             q, _ = np.linalg.qr(q)
             small = q.T @ (c @ q)
             w, u = np.linalg.eigh(0.5 * (small + small.T))
@@ -680,10 +706,18 @@ def cg_solve(
     p = z
     rz = (r * z).sum(axis=1, keepdims=True)
     b_norm_row = (b * b).sum(axis=1, keepdims=True)  # (T+1, 1)
-    # Per-shift threshold with an absolute floor relative to the batch
-    # scale: a (near-)zero-RHS row wants x = 0 and must not keep the whole
-    # batch iterating on rounding noise it can never beat.
-    thresh = rtol * rtol * jnp.maximum(b_norm_row, 1e-12 * b_norm_row.sum())
+    # Per-shift threshold, capped at the mean row norm: every row with
+    # above-average ||b_a|| must meet its own relative tolerance (the
+    # batch-summed criterion let a dominant-norm shift end them early),
+    # while below-average rows only need the absolute accuracy the
+    # aggregate solution requires (rtol * sqrt(mean ||b||^2)) -- demanding
+    # their own relative tolerance over-solves the ill-conditioned
+    # small-norm shifts by orders of magnitude at loose inexact-ALM
+    # tolerances (measured 200-iteration CG stalls at V=46k). Guarantees
+    # sum(res^2) <= 2 rtol^2 sum(||b||^2): strictly stronger per row than
+    # the aggregate criterion, within a bounded factor of it in cost. The
+    # mean also floors (near-)zero-RHS rows against rounding noise.
+    thresh = rtol * rtol * jnp.maximum(b_norm_row, b_norm_row.mean())
 
     def body(state):
         x, r, p, rz, it = state

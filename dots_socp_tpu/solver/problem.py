@@ -107,7 +107,7 @@ def build_problem(
     max_dense_vertices: int = 16384,
     cg_max_iters: int = 200,
     cg_rtol: float = 1e-9,
-    cg_deflation_k: int = 64,
+    cg_deflation_k: int | None = None,
     dtype: str = "float32",
     pad_multiple: int = 1,
     space_partitions: int = 1,
@@ -236,6 +236,12 @@ def build_problem(
         # The Pallas window SpMV is single-device; any sharded mesh keeps
         # the ELL / halo matvec (auto otherwise: f32 on the TPU backend).
         sharded = mesh_axes is not None and max(mesh_axes) > 1
+        if cg_deflation_k is None:
+            # Mesh-Laplacian eigenvalues grow ~linearly with index, so
+            # deflating k modes cuts the Jacobi-CG condition number ~V/k:
+            # scale k with the mesh (capped by the cost of the two thin
+            # (T+1,V)x(V,k) preconditioner GEMMs per CG iteration).
+            cg_deflation_k = int(min(256, max(64, v_pad // 256)))
         cg_op = build_cg_operator(
             n_time,
             dt,

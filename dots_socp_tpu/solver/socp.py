@@ -126,7 +126,7 @@ def solver_socp(
     max_dense_vertices=16384,
     cg_max_iters=200,
     cg_rtol=None,
-    cg_deflation_k=64,
+    cg_deflation_k=None,
     max_chunk=512,
     pad_multiple=None,
     mesh=None,
@@ -147,8 +147,9 @@ def solver_socp(
         enables inexact-ALM scheduling: the tolerance starts loose and is
         tightened to a fraction of the measured outer KKT error at every
         validation point (a traced scalar -- no recompilation).
-    cg_deflation_k : int
-        Ritz pairs in the CG spectral preconditioner (0 disables).
+    cg_deflation_k : int | None
+        Ritz pairs in the CG spectral preconditioner (0 disables; None
+        scales with the mesh: min(256, max(64, V_pad // 256))).
     max_chunk : int
         Upper bound on iterations dispatched per device call (bounds the
         granularity of the time_limit check). Each dispatch pays one

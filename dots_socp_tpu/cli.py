@@ -223,6 +223,14 @@ def parse_args(parser=None, return_parser=False):
         "(e.g. the plane example)",
     )
     exp_group.add_argument(
+        "--sigma_freeze_error",
+        type=float,
+        default=None,
+        help="Freeze sigma adjustments (sticky) once the KKT stop error "
+        "first drops below this level; breaks the sigma limit cycle on "
+        "large meshes (try 20*tol). Default: never freeze",
+    )
+    exp_group.add_argument(
         "--snapshot",
         dest="snapshot_path",
         type=str,

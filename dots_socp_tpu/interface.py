@@ -119,6 +119,7 @@ _KEY_MAPPING = {
     # sweep reuse one compiled graph across examples (see replication/sweep.py).
     "pad_multiple": "pad_multiple",
     "max_dense_vertices": "max_dense_vertices",
+    "sigma_freeze_error": "sigma_freeze_error",
 }
 
 

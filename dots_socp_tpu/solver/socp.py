@@ -132,6 +132,7 @@ def solver_socp(
     mesh=None,
     snapshot_path=None,
     snapshot_every=300.0,
+    sigma_freeze_error=None,
 ):
     """Solve the SOCP reformulation of DOT on a discrete surface.
 
@@ -171,6 +172,17 @@ def solver_socp(
     snapshot_every : float
         Seconds between periodic snapshots (a final one is always written
         on loop exit when snapshot_path is set).
+    sigma_freeze_error : float | None
+        Tail rule for the sigma schedule: once the stop-set KKT error first
+        drops below this threshold, sigma adjustments stop for the rest of
+        the run (sticky). The reference's gap-table schedule keeps kicking
+        sigma by 10-35% every 43 iterations even when the prim/dual ratio
+        merely dances around the 1.2 dead-zone edge; at large V this
+        sustains a limit cycle that blocks convergence (measured: plane
+        n200/V=46k oscillates in the 1e-3..1e-2 band for 10k+ iterations,
+        with or without tight CG). Freezing sigma near convergence restores
+        the fixed-penalty ALM descent. None disables (exact reference
+        parity).
     """
     logging.basicConfig(level=LOG_LEVELS["info"], format="%(message)s")
 
@@ -219,6 +231,10 @@ def solver_socp(
     cpu0 = jax.local_devices(backend="cpu")[0]
     cg_rtol_adaptive = cg_rtol is None
     cg_rtol_floor = 1e-12 if precision == "float64" else 2e-6
+    sigma_freeze = (
+        float(sigma_freeze_error) if sigma_freeze_error is not None else -np.inf
+    )
+    sigma_frozen = False
     with jax.default_device(cpu0):
         config, data, extras = build_problem(
             n_time,
@@ -445,7 +461,7 @@ def solver_socp(
             is_org_kkt switch, sigma update). Mutates loop state.
             sigma_on_device: the adaptive segment already applied the sigma
             update in-dispatch; skip the host-side application."""
-            nonlocal passed, error, is_org_kkt, state, data
+            nonlocal passed, error, is_org_kkt, state, data, sigma_frozen
             passed = bool(np.all(org < tol))
             if check_kkt_step_by_step:
                 cost, lagrangian = map(
@@ -463,6 +479,13 @@ def solver_socp(
                 run_history.record(current_it=check_it, kkt_errors=org)
 
             error = _nanmax(org[KKT_STOP_CONDITION])
+            if not sigma_frozen and np.isfinite(error) and error < sigma_freeze:
+                sigma_frozen = True
+                logging.log(
+                    LOG_LEVELS["scaling"],
+                    f"Sigma frozen at iteration {check_it} "
+                    f"(error {error:.2e} < {sigma_freeze:.2e})",
+                )
             if np.isfinite(error):
                 cadence.set_error_and_tolerance(error, tol)
                 # Inexact-ALM inner-tolerance scheduling: the CG phi-solve
@@ -520,7 +543,7 @@ def solver_socp(
             if _nanmax(scaled) < 5 * tol:
                 is_org_kkt = True
 
-            if whether_adjust and not sigma_on_device:
+            if whether_adjust and not sigma_on_device and not sigma_frozen:
                 col = org if is_org_kkt else scaled
                 prim_error = _nanmax(col[KKT_PRIM_POS])
                 dual_error = _nanmax(col[KKT_DUAL_POS])
@@ -572,6 +595,9 @@ def solver_socp(
                     # -inf sentinel: err <= -inf never fires (inf would
                     # fire at EVERY validation and change chunk boundaries).
                     tol_checkpoints[0] if tol_checkpoints else -np.inf,
+                    # Sigma tail-freeze threshold: -inf when disabled (err
+                    # < -inf never fires); +inf once sticky-frozen host-side.
+                    np.inf if sigma_frozen else sigma_freeze,
                 ],
                 dtype=config.np_dtype,
             )

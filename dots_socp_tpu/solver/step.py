@@ -235,7 +235,12 @@ def run_chunk_adaptive(
 
     Parameters: it0 absolute iteration index of the first iteration in the
     segment; k_bound max iterations; j_first iterations until the first
-    check; aux = [last_adjust_it, is_org_kkt (0/1), tol, next_checkpoint].
+    check; aux = [last_adjust_it, is_org_kkt (0/1), tol, next_checkpoint,
+    sigma_freeze]. sigma_freeze mirrors the host's sticky tail rule
+    (`solver_socp(sigma_freeze_error=...)`): once the stop-set error at a
+    validation drops below it, later validations in the segment skip the
+    sigma factor (the cadence still fires, matching the host's bookkeeping);
+    -inf disables, +inf means the host already latched the freeze.
     next_checkpoint (-inf when none are pending) makes the segment stop at
     the validation where the stop-set error first crosses a tolerance
     checkpoint, so the host snapshots the state exactly at the crossing --
@@ -259,6 +264,7 @@ def run_chunk_adaptive(
     is_org0 = aux[1] > 0.5
     tol = aux[2].astype(dtype)
     next_checkpoint = aux[3].astype(dtype)
+    sigma_freeze = aux[4].astype(dtype)
     recs0 = jnp.full((max_checks, ADAPTIVE_REC_SIZE), jnp.nan, dtype=dtype)
     stop_idx = jnp.asarray([0, 2, 4, 5])
     prim_pos = jnp.asarray([0, 1])
@@ -276,11 +282,11 @@ def run_chunk_adaptive(
         return jnp.where(jnp.isfinite(err), iv, max_int).astype(jnp.int32)
 
     def cond(carry):
-        _, _, n, it_total, _, _, _, done = carry
+        _, _, n, it_total, _, _, _, _, done = carry
         return (~done) & (it_total < k_bound) & (n < max_checks)
 
     def body(carry):
-        state, recs, n, it_total, j_next, last_adjust, is_org, _ = carry
+        state, recs, n, it_total, j_next, last_adjust, is_org, frozen, _ = carry
         it_cur = it0 + it_total
         na = _device_next_adjust(it_cur, last_adjust)
         j = jnp.minimum(
@@ -301,6 +307,10 @@ def run_chunk_adaptive(
         # org/scaled switch precedes the sigma update (host order).
         is_org = is_org | (jnp.nanmax(scaled) < 5 * tol)
 
+        # Sticky tail freeze: latched BEFORE the factor at this validation
+        # (host order: error -> freeze latch -> sigma adjust).
+        frozen = frozen | (err < sigma_freeze)
+
         # Host order at a validation is checkpoint -> passed-check -> sigma
         # adjust: a tolerance-checkpoint crossing that ends the segment must
         # NOT suppress a sigma update scheduled at the same validation (the
@@ -319,7 +329,7 @@ def run_chunk_adaptive(
             1.0,
         )
         factor = jnp.where(
-            adjust_now & gap_ok, _device_sigma_factor(state.r, gap), 1.0
+            adjust_now & gap_ok & (~frozen), _device_sigma_factor(state.r, gap), 1.0
         ).astype(dtype)
         state = apply_penalty_factor(state, factor)
         last_adjust = jnp.where(adjust_now, a, last_adjust)
@@ -337,13 +347,16 @@ def run_chunk_adaptive(
             ]
         )
         recs = jax.lax.dynamic_update_index_in_dim(recs, rec, n, 0)
-        return state, recs, n + 1, it_total, next_interval(err), last_adjust, is_org, done
+        return (
+            state, recs, n + 1, it_total, next_interval(err),
+            last_adjust, is_org, frozen, done,
+        )
 
     init = (
         state, recs0, jnp.int32(0), jnp.int32(0), j_first,
-        last_adjust0, is_org0, False,
+        last_adjust0, is_org0, False, False,
     )
-    state, recs, n, it_total, _, last_adjust, is_org, _ = jax.lax.while_loop(
+    state, recs, n, it_total, _, last_adjust, is_org, _, _ = jax.lax.while_loop(
         cond, body, init
     )
     header = jnp.stack(

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--skip_histogram", action="store_true")
     ap.add_argument("--snapshot", default=None,
                     help="crash-safe state snapshot path (resumes if present)")
+    ap.add_argument("--cg_rtol", type=float, default=None,
+                    help="fixed CG inner rtol (default: adaptive inexact-ALM "
+                    "schedule tied to the current KKT error)")
+    ap.add_argument("--sigma_freeze_error", type=float, default=None,
+                    help="sticky sigma freeze threshold (see solver_socp)")
     ap.add_argument("--max_chunk", type=int, default=128,
                     help="iterations per device dispatch (shorter segments "
                     "bound the loss when the remote TPU worker flakes)")
@@ -52,6 +57,8 @@ def main():
         tol=args.tol,
         time_limit=args.time_limit,
         precision="float32",
+        cg_rtol=args.cg_rtol,
+        sigma_freeze_error=args.sigma_freeze_error,
         max_chunk=args.max_chunk,
         snapshot_path=args.snapshot,
         snapshot_every=120.0,
@@ -61,7 +68,9 @@ def main():
     history.print_steps_time()
 
     kkt = history.get_current_kkt_errors()
-    iterations = int(history.kkt_iteration[history.n_records - 1])
+    recorded = np.asarray(history.kkt_iteration)
+    recorded = recorded[np.isfinite(recorded)]
+    iterations = int(recorded[-1]) if recorded.size else 0
     result = {
         "metric": (
             f"large-mesh solve to tol={args.tol:g} "

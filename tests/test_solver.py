@@ -207,7 +207,7 @@ def test_adaptive_segment_sigma_update_at_checkpoint_crossing():
     # First sigma-adjust boundary is iteration 3 (last_adjust=0, gap 3).
     # j_first=4 plans the first validation exactly there; a huge checkpoint
     # threshold makes the crossing fire at that same validation.
-    aux = np.asarray([0.0, 0.0, 1e-12, 1e6], dtype=np.float64)
+    aux = np.asarray([0.0, 0.0, 1e-12, 1e6, -np.inf], dtype=np.float64)
     _, packed = run_chunk_adaptive(
         config, data, state, np.int32(0), np.int32(64), np.int32(4), aux, 16
     )
@@ -216,3 +216,53 @@ def test_adaptive_segment_sigma_update_at_checkpoint_crossing():
     assert int(packed[2]) == 3  # last_adjust_it advanced to the boundary
     rec = packed[ADAPTIVE_HEADER : ADAPTIVE_HEADER + ADAPTIVE_REC_SIZE]
     assert rec[1] == 1.0, "sigma adjust suppressed by the checkpoint crossing"
+
+
+def test_adaptive_segment_sigma_tail_freeze():
+    """With aux[4] = +inf (host-latched freeze) the device segment must keep
+    firing the adjustment cadence (forced validations, last_adjust advances)
+    while every applied sigma factor stays exactly 1."""
+    import __graft_entry__ as graft
+    from dots_socp_tpu.solver.step import (
+        ADAPTIVE_HEADER,
+        ADAPTIVE_REC_SIZE,
+        run_chunk_adaptive,
+    )
+
+    config, data, state = graft._build(8, 4, "float64", pad_multiple=1)
+
+    def run(freeze):
+        import jax
+        import jax.numpy as jnp
+
+        aux = np.asarray([0.0, 0.0, 1e-12, -np.inf, freeze], dtype=np.float64)
+        # state is donated by run_chunk_adaptive; hand each call its own copy.
+        state_copy = jax.tree.map(jnp.copy, state)
+        _, packed = run_chunk_adaptive(
+            config, data, state_copy, np.int32(0), np.int32(64), np.int32(4),
+            aux, 16,
+        )
+        packed = np.asarray(packed)
+        n = int(packed[0])
+        recs = packed[ADAPTIVE_HEADER:].reshape(-1, ADAPTIVE_REC_SIZE)[:n]
+        return packed, recs
+
+    packed_off, recs_off = run(-np.inf)
+    packed_on, recs_on = run(np.inf)
+
+    # Freeze disabled: the gap table applies real factors at this stage.
+    assert np.any(recs_off[recs_off[:, 1] == 1.0, 2] != 1.0)
+    # Frozen: cadence still fires (bookkeeping parity) but factor is 1.
+    assert np.any(recs_on[:, 1] == 1.0)
+    assert np.all(recs_on[:, 2] == 1.0)
+    assert int(packed_on[2]) > 0  # last_adjust_it still advances
+
+
+def test_solver_sigma_freeze_converges(plane_geometry):
+    """sigma_freeze_error engaged from the start still converges (fixed-
+    penalty ALM descent) and the sigma-frozen run reaches the tolerance."""
+    _, hist = solver_socp(
+        4, plane_geometry, nit=2000, tol=1e-3, time_limit=120,
+        sigma_freeze_error=1.0,
+    )
+    assert np.all(hist.get_current_kkt_errors() < 1e-3)

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--skip_histogram", action="store_true")
     ap.add_argument("--snapshot", default=None,
                     help="crash-safe state snapshot path (resumes if present)")
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "float64"],
+                    help="solver dtype; at V>=46k the f32 roundoff floor "
+                    "(~eps * 1/h^2) sits above tol=1e-4, so converged "
+                    "large-mesh solves need float64")
     ap.add_argument("--cg_rtol", type=float, default=None,
                     help="fixed CG inner rtol (default: adaptive inexact-ALM "
                     "schedule tied to the current KKT error)")
@@ -56,7 +61,7 @@ def main():
         nit=args.nit,
         tol=args.tol,
         time_limit=args.time_limit,
-        precision="float32",
+        precision=args.precision,
         cg_rtol=args.cg_rtol,
         sigma_freeze_error=args.sigma_freeze_error,
         max_chunk=args.max_chunk,
@@ -74,7 +79,8 @@ def main():
     result = {
         "metric": (
             f"large-mesh solve to tol={args.tol:g} "
-            f"(plane n{args.n_space}, T={args.ntime}, f32, CG path)"
+            f"(plane n{args.n_space}, T={args.ntime}, "
+            f"{'f64' if args.precision == 'float64' else 'f32'}, CG path)"
         ),
         "wall_sec": round(wall, 1),
         "iterations": iterations,

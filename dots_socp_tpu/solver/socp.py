@@ -255,6 +255,10 @@ def solver_socp(
         "---- Laplace matrix ".ljust(42, "-")
         + f"\nFactorizing the Laplace matrix: {time.perf_counter() - t_setup:.2f}s."
     )
+    # Compare the freeze threshold at device precision on the host too: the
+    # device segment tests err < np_dtype(sigma_freeze) (step.py aux cast),
+    # and a float64 host threshold could latch on one side only.
+    sigma_freeze = float(config.np_dtype(sigma_freeze))
 
     n_vertices = config.n_vertices
     n_triangles = config.n_triangles
@@ -397,6 +401,7 @@ def solver_socp(
         is_org_kkt = bool(resumed["is_org_kkt"])
         if resumed.get("tol_checkpoints") is not None:
             tol_checkpoints = list(resumed["tol_checkpoints"])
+        sigma_frozen = bool(resumed.get("sigma_frozen", False))
         start_time -= float(resumed["elapsed"])  # time_limit spans the whole run
 
     def host_schedule_meta(iteration):
@@ -409,6 +414,7 @@ def solver_socp(
             "cadence_counter": int(cadence.counter),
             "converged_mask": [bool(b) for b in converged_mask],
             "is_org_kkt": bool(is_org_kkt),
+            "sigma_frozen": bool(sigma_frozen),
             "tol_checkpoints": tol_checkpoints,
             "elapsed": time.perf_counter() - start_time,
         }

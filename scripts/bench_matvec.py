@@ -17,9 +17,15 @@ Usage: python scripts/bench_matvec.py --n_space 200 --n_time 31 --iters 50
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# Self-bootstrap: runnable without PYTHONPATH (round-3 lost a chip run to a
+# bare `python scripts/...` invocation failing the package import).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

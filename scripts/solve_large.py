@@ -11,7 +11,13 @@ Usage: python scripts/solve_large.py --n_space 200 --ntime 31 --tol 1e-4
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Self-bootstrap: runnable without PYTHONPATH (round-3 lost a chip run to a
+# bare `python scripts/...` invocation failing the package import).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

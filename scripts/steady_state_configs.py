@@ -12,7 +12,13 @@ Usage: python scripts/steady_state_configs.py [--configs 2 3]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Self-bootstrap: runnable without PYTHONPATH (round-3 lost a chip run to a
+# bare `python scripts/...` invocation failing the package import).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_config(parser, argv, warmup_nit=2):
@@ -30,12 +36,14 @@ def run_config(parser, argv, warmup_nit=2):
     wall = time.perf_counter() - t0
     import numpy as np
 
-    iterations = int(history.kkt_iteration[history.n_records - 1])
+    recorded = np.asarray(history.kkt_iteration)
+    recorded = recorded[np.isfinite(recorded)]
+    iterations = int(recorded[-1]) if recorded.size else 0
     errors = np.asarray(history.get_current_kkt_errors(), dtype=float)
     return {
         "argv": " ".join(argv),
-        "warmup_incl_compile_sec": round(compile_s, 1),
-        "solve_sec": round(wall, 1),
+        "warmup_incl_compile_sec": round(compile_s, 3),
+        "solve_sec": round(wall, 3),
         "iterations": iterations,
         "iters_per_sec": round(iterations / wall, 1),
         "converged": bool(np.all(errors < opts.tol)),
@@ -50,6 +58,11 @@ CONFIGS = {
     # BASELINE.md config 3: high-resolution time grid.
     "3": ["--example=plane", "--n_space=50", "--ntime=127",
           "--tol=1e-4", "--nit=10000", "--time_limit=1200"],
+    # CI smoke config: exercises the full measurement path in seconds on
+    # CPU so script bugs can't silently consume chip hours again.
+    "smoke": ["--example=plane", "--n_space=12", "--ntime=4",
+              "--congestion=0.05", "--tol=1e-2", "--nit=50",
+              "--time_limit=60"],
 }
 
 

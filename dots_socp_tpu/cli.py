@@ -102,6 +102,14 @@ def parse_args(parser=None, return_parser=False):
         help="Space-time Laplacian solver: dense spectral factor or "
         "matrix-free CG (default: auto by mesh size)",
     )
+    algo_group.add_argument(
+        "--phi_refine",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="Mixed-precision phi: f64 state.phi + f64 iterative refinement "
+        "around the f32 inner CG (auto: on for the unsharded float32 CG "
+        "path, where the f32 true-residual floor blocks tight tolerances)",
+    )
 
     output_group = parser.add_argument_group("Output options")
     output_group.add_argument(

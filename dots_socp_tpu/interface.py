@@ -120,6 +120,7 @@ _KEY_MAPPING = {
     "pad_multiple": "pad_multiple",
     "max_dense_vertices": "max_dense_vertices",
     "sigma_freeze_error": "sigma_freeze_error",
+    "phi_refine": "phi_refine",
 }
 
 

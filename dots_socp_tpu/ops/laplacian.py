@@ -237,6 +237,13 @@ class CGOperator(NamedTuple):
     # permuted preconditioner arrays for the Pallas MXU SpMV kernel (built
     # on the TPU backend in float32; None elsewhere -> ELL fallback).
     window: object = None
+    # Optional float64 leaves for mixed-precision iterative refinement
+    # (`refine=True` at build): the f64 TRUE-residual matvec around the f32
+    # inner CG. None disables refinement.
+    ell_w_hi: jnp.ndarray = None
+    av_hi: jnp.ndarray = None
+    shifts_hi: jnp.ndarray = None
+    u_time_hi: jnp.ndarray = None
 
 
 def _ritz_cache_dir() -> str:
@@ -376,6 +383,7 @@ def build_cg_operator(
     rtol: float = 1e-6,
     use_pallas_spmv: bool | None = None,
     spmv_tile_rows: int = 512,  # measured best at V=46k (363 vs 426 us at 256)
+    refine: bool = False,
 ) -> CGOperator:
     """Set up the matrix-free CG solver for meshes too large to densify.
 
@@ -390,6 +398,14 @@ def build_cg_operator(
         CG matvec. None = auto: float32 on the TPU backend (the kernel is
         single-device; the sharded path keeps the halo/incidence matvec).
     spmv_tile_rows : output rows per Pallas kernel tile.
+    refine : attach float64 operator leaves enabling mixed-precision
+        iterative refinement in `cg_solve`. Finite-precision CG cannot push
+        the TRUE residual ||b - A x|| below ~eps * ||A|| ||x|| no matter how
+        tight the recursive-residual tolerance is; at V=46k that f32 floor
+        is eps32/h^2 ~ 2e-3 relative -- above the 1e-4 outer tolerance
+        (measured: the tight-CG control stalled at 1.7e-3 exactly like the
+        adaptive run). Refinement restores f64-level true residuals while
+        every inner CG iteration keeps running f32 on the Pallas kernel.
     """
     lap_time = build_time_laplacian(n_time, stepsize_time)
     lam_t, u_time = np.linalg.eigh(lap_time)
@@ -453,6 +469,18 @@ def build_cg_operator(
                 defl_q_p=jnp.asarray(q[perm], dtype=dtype),
             )
 
+    hi = {}
+    if refine:
+        # f64 leaves only exist when x64 is on (else they silently downcast
+        # and the refinement loop would chase its own rounding).
+        jax.config.update("jax_enable_x64", True)
+        hi = dict(
+            ell_w_hi=jnp.asarray(ell_w, dtype=jnp.float64),
+            av_hi=jnp.asarray(av, dtype=jnp.float64),
+            shifts_hi=jnp.asarray(shifts, dtype=jnp.float64),
+            u_time_hi=jnp.asarray(u_time, dtype=jnp.float64),
+        )
+
     return CGOperator(
         shifts=jnp.asarray(shifts, dtype=dtype),
         jacobi=jnp.asarray(jacobi, dtype=dtype),
@@ -466,6 +494,7 @@ def build_cg_operator(
         ell_idx=jnp.asarray(ell_idx),
         ell_w=jnp.asarray(ell_w, dtype=dtype),
         window=window,
+        **hi,
     )
 
 
@@ -494,7 +523,7 @@ def _ell_arrays(lap_space):
     return idx, w
 
 
-def ell_matvec(op: CGOperator, x):
+def ell_matvec(op: CGOperator, x, weights=None):
     """L_space @ x for (..., V) x, via the padded-ELL gather form.
 
     The gather runs in vertex-major layout: moving V to the front makes
@@ -502,10 +531,14 @@ def ell_matvec(op: CGOperator, x):
     instead of a single lane element -- TPU gathers move whole 128-byte
     sublane rows, so row gathers run near memory speed while lane-element
     gathers crawl.
+
+    weights : override for `op.ell_w` (the refinement path passes the f64
+        copy so the true-residual matvec carries f64 matrix entries).
     """
+    w = op.ell_w if weights is None else weights
     xt = jnp.moveaxis(x, -1, 0)  # (V, ...)
     g = xt[op.ell_idx]  # (V, D, ...)
-    w = op.ell_w.reshape(op.ell_w.shape + (1,) * (x.ndim - 1))
+    w = w.reshape(w.shape + (1,) * (x.ndim - 1))
     return jnp.moveaxis((g * w).sum(1), 0, -1)
 
 
@@ -645,6 +678,18 @@ def cg_solve(
     mesh but no halo tables exist. The ELL gather indexes globally, which
     GSPMD can only resolve by all-gathering x every matvec -- route through
     the incidence-form `laplacian_apply` instead (partitionable reductions).
+
+    Mixed-precision refinement: when the operator carries f64 leaves
+    (`build_cg_operator(refine=True)`) and the work dtype is narrower than
+    f64, the solve runs classic iterative refinement -- the TRUE residual
+    r = b - A x is evaluated in f64 (x and the accumulated solution held in
+    f64), and each correction is solved by the f32 inner CG below (window
+    kernel / ELL). Finite-precision CG floors the true residual at
+    ~eps_work * ||A|| ||x|| regardless of the recursive-residual tolerance;
+    each refinement pass shrinks the correction norm, so the floor drops
+    geometrically (~eps32 * cond(A) per pass) until the f64 target is met.
+    The returned x is f64. Cost: one f64 ELL matvec per pass (1-2 passes
+    after the warm start) on top of the unchanged f32 inner iterations.
     """
     if rtol is None:
         rtol = op.rtol
@@ -663,7 +708,12 @@ def cg_solve(
     else:
         jacobi, defl_q, s_vec, av_vec = op.jacobi, op.defl_q, op.s, ops.av
 
-    b = op.u_time.T @ rhs  # to time-eigenbasis: (T+1, V)
+    use_refine = (
+        op.ell_w_hi is not None
+        and halo is None
+        and not space_sharded
+        and rhs.dtype != jnp.float64
+    )
 
     def deflate(v):
         # Singular rows (-L at shift=0) have the constant vector as null
@@ -696,16 +746,6 @@ def cg_solve(
             z = z + s_vec[None, :] * ((coef * op.defl_winv) @ defl_q.T)
         return z
 
-    b = deflate(-b)
-    x = jnp.zeros_like(b) if x0 is None else op.u_time.T @ x0
-    if use_window:
-        b = b[:, wop.perm]
-        x = x[:, wop.perm]
-    r = b - matvec(x)
-    z = precond(r)
-    p = z
-    rz = (r * z).sum(axis=1, keepdims=True)
-    b_norm_row = (b * b).sum(axis=1, keepdims=True)  # (T+1, 1)
     # Per-shift threshold, capped at the mean row norm: every row with
     # above-average ||b_a|| must meet its own relative tolerance (the
     # batch-summed criterion let a dominant-norm shift end them early),
@@ -717,34 +757,99 @@ def cg_solve(
     # sum(res^2) <= 2 rtol^2 sum(||b||^2): strictly stronger per row than
     # the aggregate criterion, within a bounded factor of it in cost. The
     # mean also floors (near-)zero-RHS rows against rounding noise.
-    thresh = rtol * rtol * jnp.maximum(b_norm_row, b_norm_row.mean())
+    def row_thresh(b, tol):
+        b_norm_row = (b * b).sum(axis=1, keepdims=True)  # (T+1, 1)
+        return tol * tol * jnp.maximum(b_norm_row, b_norm_row.mean())
 
-    def body(state):
-        x, r, p, rz, it = state
-        active = (r * r).sum(axis=1, keepdims=True) > thresh
-        ap = matvec(p)
-        alpha = jnp.where(
-            active, rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30), 0.0
-        )
-        x = x + alpha * p
-        r = r - alpha * ap
+    def pcg_core(b, x, thresh):
+        """Inner PCG in the work dtype; b/x in eigenbasis, original order.
+        Frozen (converged) rows keep p and rz unchanged so they resume
+        consistently if re-activated; beta = 0 there avoids rz_new/rz ~ 1
+        blowing p up."""
+        if use_window:
+            b = b[:, wop.perm]
+            x = x[:, wop.perm]
+        r = b - matvec(x)
         z = precond(r)
-        rz_new = (r * z).sum(axis=1, keepdims=True)
-        # Frozen rows keep p (and rz) unchanged so they resume consistently
-        # if re-activated; beta = 0 there avoids rz_new/rz ~ 1 blowing p up.
-        beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-        p = jnp.where(active, z + beta * p, p)
-        rz = jnp.where(active, rz_new, rz)
-        return x, r, p, rz, it + 1
+        p = z
+        rz = (r * z).sum(axis=1, keepdims=True)
 
-    def cond(state):
-        _, r, _, _, it = state
-        res_row = (r * r).sum(axis=1, keepdims=True)
-        return jnp.logical_and(it < max_iters, jnp.any(res_row > thresh))
+        def body(state):
+            x, r, p, rz, it = state
+            active = (r * r).sum(axis=1, keepdims=True) > thresh
+            ap = matvec(p)
+            alpha = jnp.where(
+                active,
+                rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30),
+                0.0,
+            )
+            x = x + alpha * p
+            r = r - alpha * ap
+            z = precond(r)
+            rz_new = (r * z).sum(axis=1, keepdims=True)
+            beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = jnp.where(active, z + beta * p, p)
+            rz = jnp.where(active, rz_new, rz)
+            return x, r, p, rz, it + 1
 
-    x, _, _, _, iters = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
-    if use_window:
-        x = x[:, wop.iperm]
-    x = deflate(x)
-    x = op.u_time @ x
+        def cond(state):
+            _, r, _, _, it = state
+            res_row = (r * r).sum(axis=1, keepdims=True)
+            return jnp.logical_and(it < max_iters, jnp.any(res_row > thresh))
+
+        x, _, _, _, iters = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
+        if use_window:
+            x = x[:, wop.iperm]
+        return x, iters
+
+    if not use_refine:
+        b = deflate(-(op.u_time.T @ rhs))
+        x = jnp.zeros_like(b) if x0 is None else op.u_time.T @ x0
+        x, iters = pcg_core(b, x, row_thresh(b, rtol))
+        x = op.u_time @ deflate(x)
+        return (x, iters) if return_iters else x
+
+    # ---- mixed-precision iterative refinement ------------------------------
+    f64 = jnp.float64
+    work = rhs.dtype
+    ut = op.u_time_hi
+    b64 = deflate(-(ut.T @ rhs.astype(f64)))
+    x64 = (
+        jnp.zeros_like(b64)
+        if x0 is None
+        else deflate(ut.T @ x0.astype(f64))
+    )
+    thresh64 = row_thresh(b64, rtol.astype(f64))
+    thresh_w = thresh64.astype(work)
+
+    def matvec_hi(x):
+        lap = ell_matvec(op, x, weights=op.ell_w_hi)
+        return -(lap + op.shifts_hi[:, None] * op.av_hi[None, :] * x)
+
+    max_refine = 4
+
+    def body(carry):
+        x64, total, passes, _ = carry
+        r64 = deflate(b64 - matvec_hi(x64))
+        unmet = jnp.any((r64 * r64).sum(axis=1, keepdims=True) > thresh64)
+
+        def correct(x64, total):
+            d, it = pcg_core(
+                r64.astype(work), jnp.zeros_like(r64, dtype=work), thresh_w
+            )
+            return x64 + d.astype(f64), total + it
+
+        x64, total = jax.lax.cond(
+            unmet, correct, lambda x, t: (x, t), x64, total
+        )
+        return x64, total, passes + 1, ~unmet
+
+    def cond(carry):
+        _, _, passes, done = carry
+        return (~done) & (passes < max_refine)
+
+    x64, iters, _, _ = jax.lax.while_loop(
+        cond, body, (x64, jnp.asarray(0, jnp.int32), jnp.int32(0), False)
+    )
+    x = ut @ deflate(x64)
     return (x, iters) if return_iters else x

@@ -204,12 +204,18 @@ def window_matvec(op: WindowOperator, x, interpret: bool | None = None):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
-        _window_kernel(w, lanes),
-        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(op.starts, xt, op.a_tiles)
+    # Trace the kernel with x64 promotion OFF: under jax_enable_x64 (the
+    # mixed-precision refinement enables it globally) Mosaic sees 64-bit
+    # index/iota types it cannot legalize ("failed to legalize operation
+    # 'func.func'"). Every operand here is explicitly f32/i32, so a local
+    # 32-bit trace is semantics-preserving.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            _window_kernel(w, lanes),
+            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(op.starts, xt, op.a_tiles)
     out = out[:v].astype(x.dtype)
     if not lead:
         return out[:, 0]

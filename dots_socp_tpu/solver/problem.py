@@ -49,6 +49,10 @@ class ProblemConfig:
     cg_max_iters: int = 200
     cg_rtol: float = 1e-9
     dtype: str = "float32"
+    # Mixed-precision phi: state.phi is carried in float64 and the CG
+    # phi-solve runs f64 iterative refinement around the f32 inner CG
+    # (`ops.laplacian.cg_solve`); everything else stays in `dtype`.
+    phi_refine: bool = False
     # (time, space) device-mesh axis sizes when the solve is sharded; with
     # space > 1 and a blocked layout, the incidence ops take the shard-local
     # halo path (`parallel.halo`).
@@ -67,6 +71,10 @@ class ProblemConfig:
     @property
     def jnp_dtype(self):
         return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    @property
+    def phi_dtype(self):
+        return jnp.float64 if self.phi_refine else self.jnp_dtype
 
     @property
     def np_dtype(self):
@@ -112,6 +120,7 @@ def build_problem(
     pad_multiple: int = 1,
     space_partitions: int = 1,
     mesh_axes=None,
+    phi_refine="auto",
 ):
     """Assemble (ProblemConfig, ProblemData) plus host-side constants.
 
@@ -129,6 +138,10 @@ def build_problem(
         entities are reported in extras["vertex_slot"/"triangle_slot"].
     mesh_axes : (time, space) device-mesh axis sizes, stored on the config
         to route the mesh ops (`ProblemConfig.spmd_kwargs`).
+    phi_refine : "auto" | True | False -- mixed-precision phi (f64 state.phi
+        + f64 iterative refinement around the f32 inner CG). auto enables it
+        exactly where the f32 true-residual floor (~eps32/h^2) blocks
+        convergence: the float32 CG path on an unsharded problem.
 
     Returns
     -------
@@ -230,12 +243,22 @@ def build_problem(
 
     spectral = None
     cg_op = None
+    sharded = mesh_axes is not None and max(mesh_axes) > 1
+    if phi_refine in ("auto", None):
+        phi_refine = (
+            laplacian_mode == "cg"
+            and dtype == "float32"
+            and not sharded
+            and space_partitions == 1
+        )
+    elif phi_refine in ("on", "off"):
+        phi_refine = phi_refine == "on"
+    phi_refine = bool(phi_refine) and laplacian_mode == "cg" and dtype != "float64"
     if laplacian_mode == "spectral":
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
         # The Pallas window SpMV is single-device; any sharded mesh keeps
         # the ELL / halo matvec (auto otherwise: f32 on the TPU backend).
-        sharded = mesh_axes is not None and max(mesh_axes) > 1
         if cg_deflation_k is None:
             # Mesh-Laplacian eigenvalues grow ~linearly with index, so
             # deflating k modes cuts the Jacobi-CG condition number ~V/k:
@@ -252,6 +275,7 @@ def build_problem(
             deflation_k=cg_deflation_k,
             rtol=cg_rtol,
             use_pallas_spmv=False if sharded else None,
+            refine=phi_refine,
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")
@@ -274,6 +298,7 @@ def build_problem(
         cg_rtol=cg_rtol,
         dtype=dtype,
         mesh_axes=tuple(mesh_axes) if mesh_axes is not None else None,
+        phi_refine=phi_refine,
     )
     data = ProblemData(
         ops=ops,

@@ -133,6 +133,7 @@ def solver_socp(
     snapshot_path=None,
     snapshot_every=300.0,
     sigma_freeze_error=None,
+    phi_refine="auto",
 ):
     """Solve the SOCP reformulation of DOT on a discrete surface.
 
@@ -183,6 +184,17 @@ def solver_socp(
         with or without tight CG). Freezing sigma near convergence restores
         the fixed-penalty ALM descent. None disables (exact reference
         parity).
+    phi_refine : "auto" | True | False
+        Mixed-precision phi: carry state.phi in float64 and solve the phi
+        system by f64 iterative refinement around the f32 inner CG (the
+        Pallas window kernel keeps doing every inner iteration). Fixes the
+        float32 true-residual floor eps32 * cond(L) ~ eps32/h^2, which at
+        V >= 46k sits at ~2e-3 -- above tol=1e-4 -- and stalls KKT dual
+        feasibility there regardless of the CG tolerance (the round-3
+        tight-CG control measured exactly this). auto = on for the f32
+        unsharded CG path, off elsewhere. The reference needs no analogue:
+        it is float64 throughout with exact SuperLU solves
+        (`socp/solver_socp.py:276-299`, `utils/laplacian_inverse_socp.py:34-59`).
     """
     logging.basicConfig(level=LOG_LEVELS["info"], format="%(message)s")
 
@@ -250,6 +262,13 @@ def solver_socp(
             pad_multiple=pad_multiple,
             space_partitions=space_size,
             mesh_axes=mesh_axes,
+            phi_refine=phi_refine,
+        )
+    if config.phi_refine:
+        logging.log(
+            LOG_LEVELS["kkt"],
+            "Mixed-precision phi: f64 state.phi + f64 iterative refinement "
+            "around the f32 inner CG",
         )
     logging.debug(
         "---- Laplace matrix ".ljust(42, "-")
@@ -309,6 +328,7 @@ def solver_socp(
             norm_constant_d=norm_constant_d,
             norm_boundary=norm_boundary,
             dtype=config.jnp_dtype,
+            phi_dtype=config.phi_dtype,
         )
 
     # --- resume from an on-disk snapshot ------------------------------------
@@ -323,7 +343,9 @@ def solver_socp(
                 f"{resumed['n_time']}, V={arrays['phi'].shape[1]}; this run has "
                 f"n_time={n_time}, V={n_vertices}"
             )
-        state = state_from_arrays(arrays, config.jnp_dtype)
+        state = state_from_arrays(
+            arrays, config.jnp_dtype, phi_dtype=config.phi_dtype
+        )
         logging.log(
             LOG_LEVELS["info"],
             f"Resuming from snapshot {snapshot_path} "

@@ -71,10 +71,16 @@ def init_state(
     norm_constant_d: float = 1.0,
     norm_boundary: float = 1.0,
     dtype=jnp.float32,
+    phi_dtype=None,
 ) -> SolverState:
     """Build the initial state, optionally warm-starting from a previous
-    solution (reference `socp/solver_socp.py:239-270`)."""
+    solution (reference `socp/solver_socp.py:239-270`).
+
+    phi_dtype : dtype for `phi` only (mixed-precision refinement carries
+        phi in float64 while the rest of the state stays in `dtype`).
+    """
     init = init_solution or {}
+    phi_dtype = dtype if phi_dtype is None else phi_dtype
 
     def get(name, shape):
         if name in init and init[name] is not None:
@@ -82,16 +88,19 @@ def init_state(
         return jnp.zeros(shape, dtype=dtype)
 
     T, V, F = n_time, n_vertices, n_triangles
-    phi = get("phi", (T + 1, V))
+    if init.get("phi") is not None:
+        phi = jnp.asarray(init["phi"], dtype=phi_dtype)
+    else:
+        phi = jnp.zeros((T + 1, V), dtype=phi_dtype)
     A = (
         jnp.asarray(init["A"], dtype=dtype)
         if init.get("A") is not None
-        else grad_time_fn(phi)
+        else grad_time_fn(phi).astype(dtype)
     )
     B = (
         jnp.asarray(init["B"], dtype=dtype)
         if init.get("B") is not None
-        else grad_space_fn(phi)
+        else grad_space_fn(phi).astype(dtype)
     )
     lambda_c = get("lambda_c", (T, V))
     z_fst = get("z_fst", (T, V))
@@ -127,8 +136,8 @@ def init_state(
         beta_fst=beta_fst,
         beta_mid=beta_mid,
         beta_end=beta_end,
-        dt_phi=grad_time_fn(phi),
-        dx_phi=grad_space_fn(phi),
+        dt_phi=grad_time_fn(phi).astype(dtype),
+        dx_phi=grad_space_fn(phi).astype(dtype),
         boundary=boundary,
         r=scalar(r),
         congestion=scalar(congestion),

@@ -43,7 +43,11 @@ def laplacian_rhs(config: ProblemConfig, data: ProblemData, state: SolverState):
     rhs_t = (state.A + state.lambda_c - state.mu) * ops.av[None, :]
     rhs_x = (state.B - state.E) * ops.area_f[None, :, None]
     rhs = div_time(dt, rhs_t) + div_space(ops, rhs_x, lead=(None,), **spmd)
-    return rhs - state.boundary - state.eps * ops.av[None, :] * state.phi
+    # phi may be f64 (mixed-precision refinement); the RHS stays in the
+    # work dtype -- refinement's f64 true residual is computed against this
+    # same RHS, so consistency (not extra RHS precision) is what matters.
+    phi_w = state.phi.astype(rhs.dtype)
+    return rhs - state.boundary - state.eps * ops.av[None, :] * phi_w
 
 
 def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState):
@@ -124,9 +128,16 @@ def iteration(config: ProblemConfig, data: ProblemData, state: SolverState):
     phi = solve_laplacian(config, data, state)
     z_fst, z_mid, z_end = solve_proj_soc(config, data, state)
 
-    # Step 2
-    dt_phi = grad_time(config.stepsize_time, phi)
-    dx_phi = grad_space(data.ops, phi, lead=(None,), **config.spmd_kwargs(data))
+    # Step 2. With mixed-precision refinement phi is f64; its gradients are
+    # taken in f64 then rounded to the work dtype (the extra quantization
+    # enters dual_aux only through one div factor, ~eps32 * sqrt(cond) --
+    # an order below tol -- whereas keeping phi itself f32 would floor the
+    # true phi-residual, and with it KKT dual feasibility, at eps32 * cond).
+    wd = config.jnp_dtype
+    dt_phi = grad_time(config.stepsize_time, phi).astype(wd)
+    dx_phi = grad_space(
+        data.ops, phi, lead=(None,), **config.spmd_kwargs(data)
+    ).astype(wd)
     state_z = state._replace(z_fst=z_fst, z_mid=z_mid, z_end=z_end)
     A, B, lambda_c = solve_q_lambda(config, state_z, dt_phi, dx_phi)
 
@@ -259,7 +270,7 @@ def run_chunk_adaptive(
     from dots_socp_tpu.solver.kkt import kkt_table
     from dots_socp_tpu.solver.scaling import apply_penalty_factor
 
-    dtype = state.phi.dtype
+    dtype = config.jnp_dtype  # work dtype (phi may be wider under refinement)
     last_adjust0 = aux[0].astype(jnp.int32)
     is_org0 = aux[1] > 0.5
     tol = aux[2].astype(dtype)

@@ -64,10 +64,20 @@ def load_snapshot(path: str):
     return arrays, meta
 
 
-def state_from_arrays(arrays: dict, dtype):
-    """Rebuild a SolverState from saved arrays (cast to the run dtype)."""
+def state_from_arrays(arrays: dict, dtype, phi_dtype=None):
+    """Rebuild a SolverState from saved arrays (cast to the run dtype;
+    `phi` to phi_dtype when given -- mixed-precision refinement carries it
+    in float64)."""
     import jax.numpy as jnp
 
     from dots_socp_tpu.solver.state import SolverState
 
-    return SolverState(**{f: jnp.asarray(arrays[f], dtype=dtype) for f in _STATE_FIELDS})
+    return SolverState(
+        **{
+            f: jnp.asarray(
+                arrays[f],
+                dtype=phi_dtype if f == "phi" and phi_dtype is not None else dtype,
+            )
+            for f in _STATE_FIELDS
+        }
+    )

@@ -36,6 +36,10 @@ def main():
                     help="solver dtype; at V>=46k the f32 roundoff floor "
                     "(~eps * 1/h^2) sits above tol=1e-4, so converged "
                     "large-mesh solves need float64")
+    ap.add_argument("--phi_refine", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="mixed-precision phi (f64 state.phi + f64 iterative "
+                    "refinement around the f32 inner CG)")
     ap.add_argument("--cg_rtol", type=float, default=None,
                     help="fixed CG inner rtol (default: adaptive inexact-ALM "
                     "schedule tied to the current KKT error)")
@@ -68,6 +72,7 @@ def main():
         tol=args.tol,
         time_limit=args.time_limit,
         precision=args.precision,
+        phi_refine=args.phi_refine,
         cg_rtol=args.cg_rtol,
         sigma_freeze_error=args.sigma_freeze_error,
         max_chunk=args.max_chunk,
@@ -86,7 +91,7 @@ def main():
         "metric": (
             f"large-mesh solve to tol={args.tol:g} "
             f"(plane n{args.n_space}, T={args.ntime}, "
-            f"{'f64' if args.precision == 'float64' else 'f32'}, CG path)"
+            f"{'f64' if args.precision == 'float64' else 'f32/refine=' + args.phi_refine}, CG path)"
         ),
         "wall_sec": round(wall, 1),
         "iterations": iterations,

@@ -86,6 +86,21 @@ def test_bench_matvec_smoke():
     assert result["max_disagreement"] < 1e-3
 
 
+def test_bench_sharded_cg_smoke():
+    out = _run(
+        [
+            os.path.join(SCRIPTS, "bench_sharded_cg.py"),
+            "--n_space", "16", "--ntime", "4", "--n_devices", "4",
+            "--repeats", "1",
+        ]
+    )
+    result = _last_json(out)
+    assert "layouts" in result
+    halo = result["layouts"]["halo_blocked"]
+    assert halo["collective_bytes_per_cg_solve"] > 0
+    assert result["halo_vs_raw_collective_bytes"] < 1.0
+
+
 @pytest.mark.parametrize("script", ["bench_large.py", "reference_large.py"])
 def test_other_scripts_importable(script):
     """The remaining experiment drivers at least parse and show --help."""

@@ -75,6 +75,78 @@ def bench_tpu():
     return BENCH_ITERS / elapsed, BENCH_ITERS / raw_elapsed, config
 
 
+LARGE_N_SPACE = 200   # plane n200: V=46,431 -- the contested CG-path size
+LARGE_ITERS = 200     # fixed fused-iteration window (VERDICT r3 protocol)
+MATVEC_ITERS = 50
+
+
+def bench_large():
+    """Sustained it/s of the production CG+refine path at V=46k, plus the
+    window-SpMV kernel us/matvec -- the path where perf is contested
+    (round-3 verdict: the tiny-flagship bench made it invisible)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dots_socp_tpu.solver.step import run_chunk
+
+    config, data, state = build(LARGE_N_SPACE, N_TIME)
+    assert config.laplacian_mode == "cg", config.laplacian_mode
+
+    def fetch(s):
+        return np.asarray(s.phi)[0, 0]
+
+    state = run_chunk(config, data, state, np.int32(2))
+    fetch(state)
+
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(2))
+    fetch(state)
+    t_short = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state = run_chunk(config, data, state, np.int32(2 + LARGE_ITERS))
+    fetch(state)
+    elapsed = max(time.perf_counter() - t0 - t_short, 1e-9)
+    result = {
+        "iters_per_sec": round(LARGE_ITERS / elapsed, 3),
+        "n_vertices": config.n_vertices_real,
+        "phi_refine": bool(config.phi_refine),
+    }
+
+    wop = data.cg_op.window if data.cg_op is not None else None
+    if wop is not None:
+        from dots_socp_tpu.ops.pallas_spmv import window_matvec
+
+        v = wop.perm.shape[0]
+        rng = np.random.default_rng(0)
+        x0 = jnp.asarray(
+            rng.standard_normal((N_TIME + 1, v)), dtype=jnp.float32
+        )
+        x0 = jax.device_put(x0, jax.devices()[0])
+
+        @jax.jit
+        def chain(o, y, n):
+            def body(_, y):
+                y = window_matvec(o, y)
+                return y * jax.lax.rsqrt(jnp.sum(y * y) + 1e-30)
+
+            return jax.lax.fori_loop(0, n, body, y)
+
+        np.asarray(chain(wop, x0, np.int32(1)))[0, 0]
+        np.asarray(chain(wop, x0, np.int32(1 + MATVEC_ITERS)))[0, 0]
+        t0 = time.perf_counter()
+        np.asarray(chain(wop, x0, np.int32(1)))[0, 0]
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(chain(wop, x0, np.int32(1 + MATVEC_ITERS)))[0, 0]
+        t_many = time.perf_counter() - t0
+        result["window_matvec_us"] = round(
+            (t_many - t_one) / MATVEC_ITERS * 1e6, 1
+        )
+        result["window_width"] = int(wop.a_tiles.shape[1])
+    return result
+
+
 def bench_reference_cpu():
     """Time the reference solver's per-iteration cost on the same problem.
 
@@ -146,6 +218,10 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
 
     iters_per_sec, raw_iters_per_sec, config = bench_tpu()
+    try:
+        large = bench_large()
+    except Exception as exc:  # the headline metric must still print
+        large = {"error": f"{type(exc).__name__}: {exc}"}
 
     ref_file = Path(__file__).parent / ".bench_reference_cpu.json"
     ref_info = None
@@ -188,6 +264,12 @@ def main():
                 "reference_per_config": ref_info.get("per_config")
                 if ref_info
                 else None,
+                # The contested large-mesh CG+refine path (plane n200,
+                # V=46k): sustained it/s over a fixed 200-iteration window
+                # + the Pallas window-SpMV kernel us/matvec. The reference
+                # sustains 0.111 it/s on this problem (1162 iterations /
+                # 10,509 s, artifacts/round3/reference_v46k.stdout).
+                "large_mesh": large,
             }
         )
     )

@@ -25,6 +25,7 @@ meshes, using L x = div(area * grad(x)) as the SpMV.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import NamedTuple
 
@@ -382,8 +383,9 @@ def build_cg_operator(
     deflation_k: int = 64,
     rtol: float = 1e-6,
     use_pallas_spmv: bool | None = None,
-    spmv_tile_rows: int = 512,  # measured best at V=46k (363 vs 426 us at 256)
+    spmv_tile_rows: int | None = None,  # None: auto {256, 512} by traffic
     refine: bool = False,
+    coords=None,
 ) -> CGOperator:
     """Set up the matrix-free CG solver for meshes too large to densify.
 
@@ -394,10 +396,14 @@ def build_cg_operator(
         (-L, diag(av)) are shared by ALL T+1 shifted systems, so one
         low-rank term accelerates the whole batch -- it is exactly the
         ill-conditioned tail that plain Jacobi cannot see.
-    use_pallas_spmv : build the RCM-windowed Pallas SpMV operator for the
-        CG matvec. None = auto: float32 on the TPU backend (the kernel is
-        single-device; the sharded path keeps the halo/incidence matvec).
-    spmv_tile_rows : output rows per Pallas kernel tile.
+    use_pallas_spmv : build the windowed Pallas SpMV operator for the CG
+        matvec. None = auto: on the TPU backend when the inner CG runs in
+        float32 -- either dtype=float32 or any dtype with `refine` (the
+        refinement's inner correction solves always run f32). The kernel is
+        single-device; the sharded path keeps the halo/incidence matvec.
+    spmv_tile_rows : output rows per Pallas kernel tile (None = auto).
+    coords : optional (V, 3) vertex coordinates; enables the spatial-sort
+        ordering candidate in `build_window_tiles`.
     refine : attach float64 operator leaves enabling mixed-precision
         iterative refinement in `cg_solve`. Finite-precision CG cannot push
         the TRUE residual ||b - A x|| below ~eps * ||A|| ||x|| no matter how
@@ -443,9 +449,11 @@ def build_cg_operator(
     ell_idx, ell_w = _ell_arrays(lap_space)
 
     if use_pallas_spmv is None:
+        # The kernel computes in f32; it serves dtype=float32 directly and
+        # any dtype under refinement (the inner correction solves are f32).
         use_pallas_spmv = (
-            dtype == jnp.float32 and jax.default_backend() == "tpu"
-        )
+            dtype == jnp.float32 or refine
+        ) and jax.default_backend() == "tpu"
     window = None
     if n_time + 1 > 128:
         use_pallas_spmv = False  # T+1 modes must fit the kernel's lanes
@@ -455,18 +463,27 @@ def build_cg_operator(
             build_window_tiles,
         )
 
-        built = build_window_tiles(lap_space, tile_rows=spmv_tile_rows)
+        built = build_window_tiles(
+            lap_space, tile_rows=spmv_tile_rows, coords=coords
+        )
         if built is not None:
-            a_tiles, starts, perm, iperm = built
+            a_tiles, starts, perm, iperm, win_meta = built
+            logging.getLogger(__name__).info(
+                "window SpMV: ordering=%(ordering)s TV=%(tile_rows)d "
+                "W=%(width)d traffic=%(traffic_bytes)d B/matvec", win_meta
+            )
             window = WindowOperator(
                 a_tiles=jnp.asarray(a_tiles),
                 starts=jnp.asarray(starts),
                 perm=jnp.asarray(perm),
                 iperm=jnp.asarray(iperm),
-                av_p=jnp.asarray(av[perm], dtype=dtype),
-                jacobi_p=jnp.asarray(jacobi[:, perm], dtype=dtype),
-                s_p=jnp.asarray(1.0 / np.sqrt(av[perm]), dtype=dtype),
-                defl_q_p=jnp.asarray(q[perm], dtype=dtype),
+                # The kernel computes in f32; its companion preconditioner
+                # leaves match the f32 inner-CG work dtype even when the
+                # operator's own dtype is f64 (refined f64 solves).
+                av_p=jnp.asarray(av[perm], dtype=jnp.float32),
+                jacobi_p=jnp.asarray(jacobi[:, perm], dtype=jnp.float32),
+                s_p=jnp.asarray(1.0 / np.sqrt(av[perm]), dtype=jnp.float32),
+                defl_q_p=jnp.asarray(q[perm], dtype=jnp.float32),
             )
 
     hi = {}
@@ -696,24 +713,39 @@ def cg_solve(
     rtol = jnp.asarray(rtol, dtype=rhs.dtype)
     has_deflation = op.defl_q.shape[-1] > 0
 
-    # The Pallas window kernel runs the CG loop in RCM-permuted vertex
-    # order (permuting once at entry/exit instead of gathering every
-    # matvec); the preconditioner arrays come pre-permuted on the operator.
+    use_refine = (
+        op.ell_w_hi is not None and halo is None and not space_sharded
+    )
+    # The refinement's inner correction solves always run in f32 (every
+    # inner iteration rides the f32 window kernel) -- including for f64
+    # rhs, where refinement restores full f64 true-residual accuracy
+    # around them. Without refinement the solve runs in the rhs dtype.
+    work = jnp.float32 if use_refine else rhs.dtype
+
+    # The Pallas window kernel runs the CG loop in permuted vertex order
+    # (permuting once at entry/exit instead of gathering every matvec); the
+    # preconditioner arrays come pre-permuted, f32, on the operator.
     wop = op.window
-    use_window = wop is not None and halo is None and not space_sharded
+    use_window = (
+        wop is not None
+        and halo is None
+        and not space_sharded
+        and work == jnp.float32
+    )
     if use_window:
         jacobi, defl_q, s_vec, av_vec = (
             wop.jacobi_p, wop.defl_q_p, wop.s_p, wop.av_p,
         )
     else:
-        jacobi, defl_q, s_vec, av_vec = op.jacobi, op.defl_q, op.s, ops.av
-
-    use_refine = (
-        op.ell_w_hi is not None
-        and halo is None
-        and not space_sharded
-        and rhs.dtype != jnp.float64
-    )
+        jacobi, defl_q, s_vec, av_vec = (
+            op.jacobi.astype(work),
+            op.defl_q.astype(work),
+            op.s.astype(work),
+            ops.av.astype(work),
+        )
+    shifts_w = op.shifts.astype(work)
+    defl_winv_w = op.defl_winv.astype(work)
+    ell_w_work = op.ell_w.astype(work)
 
     def deflate(v):
         # Singular rows (-L at shift=0) have the constant vector as null
@@ -729,21 +761,23 @@ def cg_solve(
         elif halo is None and not space_sharded:
             # Padded-ELL SpMV: one fixed-width neighbor gather per vertex.
             # ~3x less HBM traffic than composing div(area * grad(x))
-            # through the (T+1, F, 3) corner-slot intermediates.
-            lap = ell_matvec(op, x)
+            # through the (T+1, F, 3) corner-slot intermediates. Weights in
+            # the work dtype (an f64 operator under refinement runs its
+            # inner corrections in f32).
+            lap = ell_matvec(op, x, weights=ell_w_work)
         else:
             # Space-sharded blocked layout: the halo-exchange incidence ops
             # keep the gather shard-local (ELL neighbor lists would reach
             # across shard boundaries); without halo tables, the incidence
             # form still partitions without per-matvec all-gathers.
             lap = laplacian_apply(ops, x, halo, mesh_axes, (None,))
-        return -(lap + op.shifts[:, None] * av_vec[None, :] * x)
+        return -(lap + shifts_w[:, None] * av_vec[None, :] * x)
 
     def precond(r):
         z = jacobi * r
         if has_deflation:
             coef = (s_vec[None, :] * r) @ defl_q  # (T+1, k)
-            z = z + s_vec[None, :] * ((coef * op.defl_winv) @ defl_q.T)
+            z = z + s_vec[None, :] * ((coef * defl_winv_w) @ defl_q.T)
         return z
 
     # Per-shift threshold, capped at the mean row norm: every row with
@@ -761,15 +795,27 @@ def cg_solve(
         b_norm_row = (b * b).sum(axis=1, keepdims=True)  # (T+1, 1)
         return tol * tol * jnp.maximum(b_norm_row, b_norm_row.mean())
 
+    null_w = op.null_row.astype(work)
+
     def pcg_core(b, x, thresh):
         """Inner PCG in the work dtype; b/x in eigenbasis, original order.
         Frozen (converged) rows keep p and rz unchanged so they resume
         consistently if re-activated; beta = 0 there avoids rz_new/rz ~ 1
-        blowing p up."""
+        blowing p up. The singular (shift ~ 0) row is re-deflated every
+        iteration: matvec rounding (espec. the f32 window kernel at tiny
+        refinement-correction scales) injects null-space components that
+        CG cannot reduce and that eventually drive p^T A p negative --
+        measured breakdown to NaN at inner iteration ~43 without this.
+        (The row mean is permutation-invariant, so deflating in permuted
+        order is exact.)"""
         if use_window:
             b = b[:, wop.perm]
             x = x[:, wop.perm]
-        r = b - matvec(x)
+
+        def dfl(v):
+            return v - null_w[:, None] * v.mean(axis=1, keepdims=True)
+
+        r = dfl(b - matvec(x))
         z = precond(r)
         p = z
         rz = (r * z).sum(axis=1, keepdims=True)
@@ -778,13 +824,15 @@ def cg_solve(
             x, r, p, rz, it = state
             active = (r * r).sum(axis=1, keepdims=True) > thresh
             ap = matvec(p)
+            den = (p * ap).sum(axis=1, keepdims=True)
+            # den <= 0 on an active row is rounding-level breakdown on the
+            # singular shift: freeze the row this iteration instead of
+            # amplifying noise through a huge/negative step.
             alpha = jnp.where(
-                active,
-                rz / jnp.maximum((p * ap).sum(axis=1, keepdims=True), 1e-30),
-                0.0,
+                active & (den > 0), rz / jnp.maximum(den, 1e-30), 0.0
             )
             x = x + alpha * p
-            r = r - alpha * ap
+            r = dfl(r - alpha * ap)
             z = precond(r)
             rz_new = (r * z).sum(axis=1, keepdims=True)
             beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
@@ -811,7 +859,6 @@ def cg_solve(
 
     # ---- mixed-precision iterative refinement ------------------------------
     f64 = jnp.float64
-    work = rhs.dtype
     ut = op.u_time_hi
     b64 = deflate(-(ut.T @ rhs.astype(f64)))
     x64 = (

@@ -62,13 +62,43 @@ class WindowOperator(NamedTuple):
     defl_q_p: jnp.ndarray
 
 
-def build_window_tiles(
-    lap_space, tile_rows: int = 256, max_bytes: int = 2 << 30
-):
-    """Host-side: RCM-order the sparse Laplacian and densify per-tile windows.
+def _tile_width(p_csr, tv):
+    """Padded max window width over tv-row tiles of a permuted CSR matrix."""
+    v = p_csr.shape[0]
+    n_tiles = -(-v // tv)
+    width = 8  # never zero; multiple-of-8 rows DMA cleanly
+    for t in range(n_tiles):
+        lo, hi = t * tv, min((t + 1) * tv, v)
+        cols = p_csr.indices[p_csr.indptr[lo] : p_csr.indptr[hi]]
+        if cols.size:
+            width = max(width, int(cols.max()) - int(cols.min()) + 1)
+    return -(-width // 8) * 8
 
-    Returns (a_tiles, starts, perm, iperm) as NumPy arrays, or None when the
-    dense windows would exceed `max_bytes` (pathological orderings).
+
+def build_window_tiles(
+    lap_space,
+    tile_rows: int | None = None,
+    max_bytes: int = 2 << 30,
+    coords=None,
+):
+    """Host-side: order the Laplacian for narrow windows, densify tiles.
+
+    Candidate orderings (bandwidth reducers):
+      natural : identity -- mesh generators often emit near-banded orders
+                (the hexagonal `plane` generator is row-major: measured
+                window 840 at V=97k/TV=256 vs RCM's 1218)
+      rcm     : reverse Cuthill-McKee (robust on arbitrary .off meshes)
+      spatial : sort along the dominant PCA axis of `coords` (surface
+                meshes: cut width ~sqrt(V) regardless of input order)
+
+    Per-matvec HBM traffic of a candidate is V*W*4 matrix bytes plus
+    ceil(V/TV)*W*LANES*4 x-window bytes; the cheapest (ordering, TV) wins.
+    Pass an int `tile_rows` to pin TV (the race harness sweeps it); None
+    tries {256, 512}.
+
+    Returns (a_tiles, starts, perm, iperm, meta) with meta = dict of the
+    winning ordering/TV/W/traffic, or None when the dense windows would
+    exceed `max_bytes` (pathological orderings).
     """
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -76,37 +106,56 @@ def build_window_tiles(
     csr = sp.csr_matrix(lap_space)
     csr.sum_duplicates()
     v = csr.shape[0]
-    tv = int(tile_rows)
-    perm = np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
-    p = csr[perm][:, perm].tocsr()
+
+    candidates = {"natural": np.arange(v, dtype=np.int64)}
+    try:
+        candidates["rcm"] = np.asarray(
+            reverse_cuthill_mckee(csr, symmetric_mode=True), dtype=np.int64
+        )
+    except Exception:
+        pass
+    if coords is not None and len(coords) == v:
+        c = np.asarray(coords, dtype=np.float64)
+        c = c - c.mean(axis=0)
+        _, u = np.linalg.eigh(c.T @ c)
+        candidates["spatial"] = np.argsort(
+            c @ u[:, -1], kind="stable"
+        ).astype(np.int64)
+
+    tv_grid = (256, 512) if tile_rows is None else (int(tile_rows),)
+    best = None
+    for name, cand in candidates.items():
+        p = csr[cand][:, cand].tocsr()
+        for tv in tv_grid:
+            w = _tile_width(p, tv)
+            traffic = v * w * 4 + (-(-v // tv)) * w * _LANES * 4
+            if best is None or traffic < best[0]:
+                best = (traffic, name, cand, p, tv, w)
+    traffic, name, perm, p, tv, width = best
 
     n_tiles = -(-v // tv)
-    starts = np.zeros(n_tiles, dtype=np.int32)
-    width = 8  # never zero; multiple-of-8 rows DMA cleanly
-    spans = []
-    for t in range(n_tiles):
-        lo, hi = t * tv, min((t + 1) * tv, v)
-        cols = p.indices[p.indptr[lo] : p.indptr[hi]]
-        if cols.size == 0:
-            spans.append((0, 0))
-            continue
-        cmin, cmax = int(cols.min()), int(cols.max())
-        spans.append((cmin, cmax))
-        width = max(width, cmax - cmin + 1)
-    width = -(-width // 8) * 8
-
     if n_tiles * tv * width * 4 > max_bytes:
         return None
 
+    starts = np.zeros(n_tiles, dtype=np.int32)
+    for t in range(n_tiles):
+        lo, hi = t * tv, min((t + 1) * tv, v)
+        cols = p.indices[p.indptr[lo] : p.indptr[hi]]
+        if cols.size:
+            starts[t] = int(cols.min())
     a_tiles = np.zeros((n_tiles * tv, width), dtype=np.float32)
     rows = np.repeat(np.arange(v), np.diff(p.indptr))
-    for t in range(n_tiles):
-        starts[t] = spans[t][0]
     a_tiles[rows, p.indices - starts[rows // tv]] = p.data.astype(np.float32)
 
     iperm = np.empty(v, dtype=np.int32)
     iperm[perm] = np.arange(v, dtype=np.int32)
-    return a_tiles, starts, perm.astype(np.int32), iperm
+    meta = {
+        "ordering": name,
+        "tile_rows": int(tv),
+        "width": int(width),
+        "traffic_bytes": int(traffic),
+    }
+    return a_tiles, starts, perm.astype(np.int32), iperm, meta
 
 
 def _window_kernel(w_static, lanes):

@@ -13,6 +13,7 @@ import dataclasses
 import math
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -245,15 +246,23 @@ def build_problem(
     cg_op = None
     sharded = mesh_axes is not None and max(mesh_axes) > 1
     if phi_refine in ("auto", None):
+        # f32: refinement restores the f64-grade solve accuracy large-mesh
+        # convergence needs. f64 on TPU: refinement keeps every inner CG
+        # iteration on the fast f32 window kernel (emulated-f64 arithmetic
+        # only touches the once-per-pass true residual); f64 on CPU keeps
+        # the plain f64 CG (tests, goldens).
         phi_refine = (
             laplacian_mode == "cg"
-            and dtype == "float32"
             and not sharded
             and space_partitions == 1
+            and (
+                dtype == "float32"
+                or jax.default_backend() == "tpu"
+            )
         )
     elif phi_refine in ("on", "off"):
         phi_refine = phi_refine == "on"
-    phi_refine = bool(phi_refine) and laplacian_mode == "cg" and dtype != "float64"
+    phi_refine = bool(phi_refine) and laplacian_mode == "cg"
     if laplacian_mode == "spectral":
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
@@ -265,6 +274,22 @@ def build_problem(
             # scale k with the mesh (capped by the cost of the two thin
             # (T+1,V)x(V,k) preconditioner GEMMs per CG iteration).
             cg_deflation_k = int(min(256, max(64, v_pad // 256)))
+        coords_p = None
+        if space_partitions == 1:
+            # Padded vertex coordinates enable the spatial-sort window
+            # ordering candidate (dummy vertices sit at the centroid; their
+            # Laplacian rows are empty so their placement is free).
+            coords_p = np.concatenate(
+                [
+                    vertices,
+                    np.broadcast_to(
+                        vertices.mean(axis=0, keepdims=True)
+                        if n_vertices
+                        else np.zeros((1, vertices.shape[1])),
+                        (v_pad - n_vertices, vertices.shape[1]),
+                    ),
+                ]
+            )
         cg_op = build_cg_operator(
             n_time,
             dt,
@@ -276,6 +301,7 @@ def build_problem(
             rtol=cg_rtol,
             use_pallas_spmv=False if sharded else None,
             refine=phi_refine,
+            coords=coords_p,
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")

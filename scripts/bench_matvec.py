@@ -34,7 +34,9 @@ def main():
     ap.add_argument("--n_time", type=int, default=31)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--dtype", default="float32")
-    ap.add_argument("--tile_rows", type=int, default=256)
+    ap.add_argument("--tile_rows", type=int, default=0,
+                    help="window tile rows; 0 = auto (ordering x TV swept "
+                    "by the traffic model in build_window_tiles)")
     ap.add_argument("--skip", default="", help="comma-separated variants")
     args = ap.parse_args()
 
@@ -65,7 +67,9 @@ def main():
         cg_op = build_cg_operator(
             args.n_time, 1.0 / args.n_time, np.asarray(ops.av), lap,
             dtype=dtype, deflation_k=0, use_pallas_spmv=True,
-            spmv_tile_rows=args.tile_rows,
+            spmv_tile_rows=args.tile_rows or None,
+            coords=vertices,
+            refine=dtype == jnp.float64,
         )
         band = build_banded_operator(lap, dtype=dtype)
     dev = jax.devices()[0]
@@ -146,7 +150,11 @@ def main():
                 "max_disagreement": agree,
                 "band_diagonals": int(band.blocks.shape[0]) if band else None,
                 "window_width": int(wop.a_tiles.shape[1]) if wop else None,
-                "tile_rows": args.tile_rows,
+                "tile_rows": (
+                    int(wop.a_tiles.shape[0] // wop.starts.shape[0])
+                    if wop
+                    else args.tile_rows
+                ),
             }
         ),
         flush=True,

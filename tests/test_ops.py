@@ -416,9 +416,10 @@ def test_pallas_window_spmv_matches_assembled(mesh, ops):
     vertices, triangles = mesh
     _, angles, _ = triangle_quantities(vertices, triangles)
     lap = cotan_laplacian(triangles, angles, vertices.shape[0])
-    built = build_window_tiles(lap, tile_rows=64)
+    built = build_window_tiles(lap, tile_rows=64, coords=vertices)
     assert built is not None
-    a_tiles, starts, perm, iperm = built
+    a_tiles, starts, perm, iperm, meta = built
+    assert meta["tile_rows"] == 64 and meta["width"] == a_tiles.shape[1]
     dummy = jnp.zeros(0)
     wop = WindowOperator(
         a_tiles=jnp.asarray(a_tiles),
@@ -439,7 +440,9 @@ def test_pallas_window_spmv_matches_assembled(mesh, ops):
 
 def test_cg_solve_window_path_matches_ell(mesh, ops):
     """cg_solve through the Pallas window matvec (interpret mode) must agree
-    with the ELL path on the same shifted systems."""
+    with the ELL path on the same shifted systems. At f64 the window engages
+    through the refined path (f32 inner CG + f64 refinement), which must
+    reach f64-grade agreement with the plain f64 ELL CG."""
     vertices, triangles = mesh
     _, angles, _ = triangle_quantities(vertices, triangles)
     lap = cotan_laplacian(triangles, angles, vertices.shape[0])
@@ -452,23 +455,23 @@ def test_cg_solve_window_path_matches_ell(mesh, ops):
     )
     op_win = build_cg_operator(
         T, dt, av, lap, dtype=DT, deflation_k=8, use_pallas_spmv=True,
-        spmv_tile_rows=64,
+        spmv_tile_rows=64, refine=True,
     )
     assert op_win.window is not None
+    assert op_win.window.jacobi_p.dtype == jnp.float32
 
     rng = np.random.default_rng(32)
     rhs = rng.standard_normal((T + 1, vertices.shape[0]))
     rhs -= rhs.mean()
 
-    # The window kernel computes the matvec in f32; match tolerances.
     x_ell = np.asarray(
-        cg_solve(ops, op_ell, jnp.asarray(rhs), max_iters=600, rtol=1e-6)
+        cg_solve(ops, op_ell, jnp.asarray(rhs), max_iters=600, rtol=1e-8)
     )
     x_win = np.asarray(
-        cg_solve(ops, op_win, jnp.asarray(rhs), max_iters=600, rtol=1e-5)
+        cg_solve(ops, op_win, jnp.asarray(rhs), max_iters=600, rtol=1e-8)
     )
     diff = x_ell - x_win
-    assert np.abs(diff - diff.mean()).max() < 5e-4
+    assert np.abs(diff - diff.mean()).max() < 1e-6
 
 
 def test_spectral_eigh_disk_cache(mesh, ops, tmp_path, monkeypatch):

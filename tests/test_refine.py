@@ -93,6 +93,34 @@ def test_refined_cg_beats_f32_true_residual_floor(cg_problem):
     assert res_ref < res_plain / 10
 
 
+def test_refined_f64_rhs_matches_plain_f64_cg(cg_problem):
+    """f64 rhs on a refine-enabled operator runs the refined path (f32
+    inner corrections -- on TPU these ride the window kernel -- wrapped in
+    f64 true-residual refinement) and must reach the same f64-grade
+    accuracy as a plain all-f64 CG. This is the fast path for
+    `--precision float64` large-mesh runs, where emulated-f64 arithmetic
+    only touches the once-per-pass true residual."""
+    n_time, av, lap, ops, rhs = cg_problem
+    rtol = 1e-9
+    rhs64 = jnp.asarray(np.asarray(rhs), dtype=jnp.float64)
+    op_plain = build_cg_operator(
+        n_time, 1.0 / n_time, av, lap, dtype=jnp.float64, deflation_k=32,
+        rtol=rtol,
+    )
+    op_ref = build_cg_operator(
+        n_time, 1.0 / n_time, av, lap, dtype=jnp.float64, deflation_k=32,
+        rtol=rtol, refine=True,
+    )
+    x_plain = cg_solve(ops, op_plain, rhs64, max_iters=3000)
+    x_ref = cg_solve(ops, op_ref, rhs64, max_iters=3000)
+    assert x_plain.dtype == jnp.float64 and x_ref.dtype == jnp.float64
+
+    res_plain = _true_residual(n_time, av, lap, x_plain, rhs64)
+    res_ref = _true_residual(n_time, av, lap, x_ref, rhs64)
+    assert res_ref < 2 * rtol, res_ref
+    assert res_plain < 2 * rtol, res_plain
+
+
 def test_refined_cg_warm_start(cg_problem):
     """Warm-started refinement (the production call shape: x0 = prev phi)."""
     n_time, av, lap, ops, rhs = cg_problem

@@ -467,14 +467,17 @@ def build_cg_operator(
             lap_space, tile_rows=spmv_tile_rows, coords=coords
         )
         if built is not None:
-            a_tiles, starts, perm, iperm, win_meta = built
+            a_tiles, starts, sub_off, ws, perm, iperm, win_meta = built
             logging.getLogger(__name__).info(
                 "window SpMV: ordering=%(ordering)s TV=%(tile_rows)d "
-                "W=%(width)d traffic=%(traffic_bytes)d B/matvec", win_meta
+                "W=%(width)d G=%(group)d Ws=%(super_width)d "
+                "traffic=%(traffic_bytes)d B/matvec", win_meta
             )
             window = WindowOperator(
                 a_tiles=jnp.asarray(a_tiles),
                 starts=jnp.asarray(starts),
+                sub_off=jnp.asarray(sub_off),
+                ws_marker=jnp.zeros((ws,), dtype=jnp.int8),
                 perm=jnp.asarray(perm),
                 iperm=jnp.asarray(iperm),
                 # The kernel computes in f32; its companion preconditioner
@@ -873,7 +876,14 @@ def cg_solve(
         lap = ell_matvec(op, x, weights=op.ell_w_hi)
         return -(lap + op.shifts_hi[:, None] * op.av_hi[None, :] * x)
 
-    max_refine = 4
+    max_refine = 6
+    # Per-pass relative target (squared): each correction solve only has
+    # to shrink the true residual ~2 decades; the outer loop re-checks in
+    # f64 and runs another pass if needed. Solving every correction to the
+    # FINAL absolute target instead makes the f32 inner CG grind against
+    # its own recursive-residual floor -- measured ~214 inner iterations
+    # per outer at rtol 5e-6, V=46k, where two 30-iteration passes suffice.
+    eta2 = jnp.asarray(1e-4)
 
     def body(carry):
         x64, total, passes, _ = carry
@@ -881,9 +891,13 @@ def cg_solve(
         unmet = jnp.any((r64 * r64).sum(axis=1, keepdims=True) > thresh64)
 
         def correct(x64, total):
-            d, it = pcg_core(
-                r64.astype(work), jnp.zeros_like(r64, dtype=work), thresh_w
+            r_w = r64.astype(work)
+            thresh_pass = jnp.maximum(
+                thresh_w,
+                eta2.astype(work)
+                * (r_w * r_w).sum(axis=1, keepdims=True),
             )
+            d, it = pcg_core(r_w, jnp.zeros_like(r_w), thresh_pass)
             return x64 + d.astype(f64), total + it
 
         x64, total = jax.lax.cond(

@@ -36,24 +36,36 @@ import numpy as np
 
 
 class WindowOperator(NamedTuple):
-    """RCM-windowed dense-tile form of the (V, V) cotan Laplacian.
+    """Windowed dense-tile form of the (V, V) cotan Laplacian, two-level.
 
-    a_tiles  : (n_tiles * TV, W) f32 -- dense window rows of P L P^T; row
-               t*TV + r holds permuted row t*TV+r over columns
-               [starts[t], starts[t] + W)
-    starts   : (n_tiles,) i32 -- window start (permuted column) per tile
-    perm     : (V,) i32 -- new position -> old index (x_p = x[perm])
-    iperm    : (V,) i32 -- inverse permutation
-    av_p     : (V,) permuted vertex areas (for the shifted-system term)
-    jacobi_p : (T+1, V) permuted Jacobi preconditioner diagonal
-    s_p      : (V,) permuted av^{-1/2}
-    defl_q_p : (V, k) row-permuted Ritz vectors
+    Tiles of TV rows are grouped G at a time into super-tiles that share
+    ONE x-window DMA (consecutive tiles' windows overlap by ~W - TV, so
+    per-tile DMAs re-stream mostly the same rows); each tile's matmul
+    reads its (W)-slice at a dynamic sublane offset inside the shared
+    VMEM window.
 
-    TV and W are implied by the array shapes (static under jit).
+    a_tiles   : (n_tiles * TV, W) f32 -- dense window rows of P L P^T; row
+                t*TV + r holds permuted row t*TV+r over columns
+                [starts[t // G] + sub_off[t], ...+ W)
+    starts    : (n_super,) i32 -- shared x-window start per super-tile
+    sub_off   : (n_tiles,) i32 -- tile window offset inside its super-window
+    ws_marker : (Ws,) i8 zeros -- carries the STATIC super-window width in
+                its shape (operator arrays are traced jit arguments, so a
+                plain int field would not survive; a shape does)
+    perm      : (V,) i32 -- new position -> old index (x_p = x[perm])
+    iperm     : (V,) i32 -- inverse permutation
+    av_p      : (V,) permuted vertex areas (for the shifted-system term)
+    jacobi_p  : (T+1, V) permuted Jacobi preconditioner diagonal
+    s_p       : (V,) permuted av^{-1/2}
+    defl_q_p  : (V, k) row-permuted Ritz vectors
+
+    TV, W, G, Ws are implied by array shapes (static under jit).
     """
 
     a_tiles: jnp.ndarray
     starts: jnp.ndarray
+    sub_off: jnp.ndarray
+    ws_marker: jnp.ndarray
     perm: jnp.ndarray
     iperm: jnp.ndarray
     av_p: jnp.ndarray
@@ -80,6 +92,7 @@ def build_window_tiles(
     tile_rows: int | None = None,
     max_bytes: int = 2 << 30,
     coords=None,
+    group: int | None = None,
 ):
     """Host-side: order the Laplacian for narrow windows, densify tiles.
 
@@ -92,13 +105,15 @@ def build_window_tiles(
                 meshes: cut width ~sqrt(V) regardless of input order)
 
     Per-matvec HBM traffic of a candidate is V*W*4 matrix bytes plus
-    ceil(V/TV)*W*LANES*4 x-window bytes; the cheapest (ordering, TV) wins.
-    Pass an int `tile_rows` to pin TV (the race harness sweeps it); None
-    tries {256, 512}.
+    n_super*Ws*LANES*4 x-window bytes, where G tiles share one Ws-wide
+    x-window DMA (Ws ~ W + (G-1)*TV; consecutive windows overlap by
+    ~W - TV, so grouping removes most x re-streaming). The cheapest
+    (ordering, TV, G) wins. Pass int `tile_rows` / `group` to pin them
+    (the race harness sweeps); None tries TV {256, 512} x G {1, 2, 4}.
 
-    Returns (a_tiles, starts, perm, iperm, meta) with meta = dict of the
-    winning ordering/TV/W/traffic, or None when the dense windows would
-    exceed `max_bytes` (pathological orderings).
+    Returns (a_tiles, starts, sub_off, ws, perm, iperm, meta) with meta =
+    dict of the winning ordering/TV/W/G/Ws/traffic, or None when the dense
+    windows would exceed `max_bytes` (pathological orderings).
     """
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
@@ -123,29 +138,53 @@ def build_window_tiles(
         ).astype(np.int64)
 
     tv_grid = (256, 512) if tile_rows is None else (int(tile_rows),)
+    g_grid = (1, 2, 4) if group is None else (int(group),)
+
+    def tile_starts(p, tv):
+        n_tiles = -(-v // tv)
+        st = np.zeros(n_tiles, dtype=np.int64)
+        for t in range(n_tiles):
+            lo, hi = t * tv, min((t + 1) * tv, v)
+            cols = p.indices[p.indptr[lo] : p.indptr[hi]]
+            if cols.size:
+                st[t] = int(cols.min())
+        return st
+
     best = None
     for name, cand in candidates.items():
         p = csr[cand][:, cand].tocsr()
         for tv in tv_grid:
             w = _tile_width(p, tv)
-            traffic = v * w * 4 + (-(-v // tv)) * w * _LANES * 4
-            if best is None or traffic < best[0]:
-                best = (traffic, name, cand, p, tv, w)
-    traffic, name, perm, p, tv, width = best
+            st = tile_starts(p, tv)
+            n_tiles = st.shape[0]
+            for g in g_grid:
+                n_pad = -(-n_tiles // g) * g
+                stp = np.concatenate(
+                    [st, np.repeat(st[-1:], n_pad - n_tiles)]
+                )
+                sup = stp.reshape(-1, g)
+                s_sup = sup.min(axis=1)
+                ws = int((sup - s_sup[:, None] + w).max())
+                ws = -(-ws // 8) * 8
+                traffic = v * w * 4 + s_sup.shape[0] * ws * _LANES * 4
+                if best is None or traffic < best[0]:
+                    best = (traffic, name, cand, p, tv, w, g, st)
+    traffic, name, perm, p, tv, width, g, st = best
 
-    n_tiles = -(-v // tv)
-    if n_tiles * tv * width * 4 > max_bytes:
+    n_tiles = st.shape[0]
+    n_pad = -(-n_tiles // g) * g
+    if n_pad * tv * width * 4 > max_bytes:
         return None
 
-    starts = np.zeros(n_tiles, dtype=np.int32)
-    for t in range(n_tiles):
-        lo, hi = t * tv, min((t + 1) * tv, v)
-        cols = p.indices[p.indptr[lo] : p.indptr[hi]]
-        if cols.size:
-            starts[t] = int(cols.min())
-    a_tiles = np.zeros((n_tiles * tv, width), dtype=np.float32)
+    st = np.concatenate([st, np.repeat(st[-1:], n_pad - n_tiles)])
+    starts = st.reshape(-1, g).min(axis=1).astype(np.int32)  # (n_super,)
+    sub_off = (st - np.repeat(starts.astype(np.int64), g)).astype(np.int32)
+    ws = int((st + width - np.repeat(starts.astype(np.int64), g)).max())
+    ws = -(-ws // 8) * 8
+
+    a_tiles = np.zeros((n_pad * tv, width), dtype=np.float32)
     rows = np.repeat(np.arange(v), np.diff(p.indptr))
-    a_tiles[rows, p.indices - starts[rows // tv]] = p.data.astype(np.float32)
+    a_tiles[rows, p.indices - st[rows // tv]] = p.data.astype(np.float32)
 
     iperm = np.empty(v, dtype=np.int32)
     iperm[perm] = np.arange(v, dtype=np.int32)
@@ -153,31 +192,33 @@ def build_window_tiles(
         "ordering": name,
         "tile_rows": int(tv),
         "width": int(width),
+        "group": int(g),
+        "super_width": int(ws),
         "traffic_bytes": int(traffic),
     }
-    return a_tiles, starts, perm.astype(np.int32), iperm, meta
+    return a_tiles, starts, sub_off, ws, perm.astype(np.int32), iperm, meta
 
 
-def _window_kernel(w_static, lanes):
-    """Kernel factory closing over the static window width and lane count."""
+def _window_kernel(w_static, ws_static, tv, g, lanes):
+    """Kernel factory closing over the static widths / grouping / lanes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(starts_ref, x_hbm, a_ref, o_ref, xwin_ref, sems):
+    def kernel(starts_ref, sub_off_ref, x_hbm, a_ref, o_ref, xwin_ref, sems):
         i = pl.program_id(0)
         n = pl.num_programs(0)
         slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
         nxt = jax.lax.rem(i + 1, jnp.asarray(2, i.dtype))
 
-        def window_dma(tile, sl):
+        def window_dma(sup, sl):
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(starts_ref[tile], w_static), :],
+                x_hbm.at[pl.ds(starts_ref[sup], ws_static), :],
                 xwin_ref.at[sl],
                 sems.at[sl],
             )
 
-        # Warm-up: tile 0's window; steady state: prefetch tile i+1's window
-        # while tile i's matmul runs (double buffer).
+        # Warm-up: super-tile 0's window; steady state: prefetch super-tile
+        # i+1's window while i's matmuls run (double buffer).
         @pl.when(i == 0)
         def _():
             window_dma(0, slot).start()
@@ -187,17 +228,21 @@ def _window_kernel(w_static, lanes):
             window_dma(i + 1, nxt).start()
 
         window_dma(i, slot).wait()
-        # Only the first `lanes` of the 128-lane DMA buffer hold data; the
-        # static slice keeps the MXU contraction at the real mode count.
+        # One matmul per member tile, each reading its W-slice at a dynamic
+        # sublane offset inside the shared super-window. Only the first
+        # `lanes` of the 128-lane DMA buffer hold data; the static slice
+        # keeps the MXU contraction at the real mode count.
         # HIGHEST: plain f32 inputs go through the MXU as single-pass bf16
         # (measured ~7e-4 relative error -- poisons CG below rtol ~1e-3);
         # the multi-pass split recovers f32 accuracy (~3e-7 measured).
-        o_ref[:] = jnp.dot(
-            a_ref[:],
-            xwin_ref[slot][:, :lanes],
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        for k in range(g):
+            off = sub_off_ref[i * g + k]
+            o_ref[k * tv : (k + 1) * tv, :] = jnp.dot(
+                a_ref[k * tv : (k + 1) * tv, :],
+                xwin_ref[slot, pl.ds(off, w_static), :lanes],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
     return kernel
 
@@ -223,7 +268,10 @@ def window_matvec(op: WindowOperator, x, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
 
     v = op.perm.shape[0]
-    n_tiles = op.starts.shape[0]
+    n_super = op.starts.shape[0]
+    n_tiles = op.sub_off.shape[0]
+    g = n_tiles // n_super
+    ws = op.ws_marker.shape[0]
     rows, w = op.a_tiles.shape
     tv = rows // n_tiles
     lead = x.shape[:-1]
@@ -234,22 +282,22 @@ def window_matvec(op: WindowOperator, x, interpret: bool | None = None):
         )
 
     # One fused transpose+pad: vertex-major rows, zero lanes beyond the T+1
-    # modes, W bounds rows so every window slice stays in range.
-    xt = jnp.zeros((v + w, _LANES), jnp.float32)
+    # modes, Ws bounds rows so every super-window slice stays in range.
+    xt = jnp.zeros((v + ws, _LANES), jnp.float32)
     xt = xt.at[:v, :lanes].set(
         jnp.moveaxis(x, -1, 0).reshape(v, lanes).astype(jnp.float32)
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        num_scalar_prefetch=2,
+        grid=(n_super,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
-            pl.BlockSpec((tv, w), lambda i, s: (i, 0)),
+            pl.BlockSpec((g * tv, w), lambda i, s1, s2: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((tv, lanes), lambda i, s: (i, 0)),
+        out_specs=pl.BlockSpec((g * tv, lanes), lambda i, s1, s2: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, w, _LANES), jnp.float32),
+            pltpu.VMEM((2, ws, _LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -260,11 +308,11 @@ def window_matvec(op: WindowOperator, x, interpret: bool | None = None):
     # 32-bit trace is semantics-preserving.
     with jax.enable_x64(False):
         out = pl.pallas_call(
-            _window_kernel(w, lanes),
+            _window_kernel(w, ws, tv, g, lanes),
             out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
             grid_spec=grid_spec,
             interpret=interpret,
-        )(op.starts, xt, op.a_tiles)
+        )(op.starts, op.sub_off, xt, op.a_tiles)
     out = out[:v].astype(x.dtype)
     if not lead:
         return out[:, 0]

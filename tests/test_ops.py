@@ -404,9 +404,12 @@ def test_ritz_pairs_disk_cache(mesh, ops, tmp_path, monkeypatch):
     assert len(calls) == 2
 
 
-def test_pallas_window_spmv_matches_assembled(mesh, ops):
-    """The RCM-windowed Pallas SpMV (interpret mode on CPU) must equal the
-    assembled cotan matrix, in permuted coordinates."""
+@pytest.mark.parametrize("group", [1, 2, None])
+def test_pallas_window_spmv_matches_assembled(mesh, ops, group):
+    """The windowed Pallas SpMV (interpret mode on CPU) must equal the
+    assembled cotan matrix, in permuted coordinates -- at G=1 (per-tile
+    x windows), G=2 (two tiles share a super-window, dynamic sublane
+    offsets), and the auto grouping."""
     from dots_socp_tpu.ops.pallas_spmv import (
         WindowOperator,
         build_window_tiles,
@@ -416,14 +419,21 @@ def test_pallas_window_spmv_matches_assembled(mesh, ops):
     vertices, triangles = mesh
     _, angles, _ = triangle_quantities(vertices, triangles)
     lap = cotan_laplacian(triangles, angles, vertices.shape[0])
-    built = build_window_tiles(lap, tile_rows=64, coords=vertices)
+    built = build_window_tiles(
+        lap, tile_rows=64, coords=vertices, group=group
+    )
     assert built is not None
-    a_tiles, starts, perm, iperm, meta = built
+    a_tiles, starts, sub_off, ws, perm, iperm, meta = built
     assert meta["tile_rows"] == 64 and meta["width"] == a_tiles.shape[1]
+    if group is not None:
+        assert meta["group"] == group
+    assert starts.shape[0] * meta["group"] == sub_off.shape[0]
     dummy = jnp.zeros(0)
     wop = WindowOperator(
         a_tiles=jnp.asarray(a_tiles),
         starts=jnp.asarray(starts),
+        sub_off=jnp.asarray(sub_off),
+        ws_marker=jnp.zeros((ws,), dtype=jnp.int8),
         perm=jnp.asarray(perm),
         iperm=jnp.asarray(iperm),
         av_p=dummy, jacobi_p=dummy, s_p=dummy, defl_q_p=dummy,

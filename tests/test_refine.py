@@ -165,7 +165,7 @@ def test_solver_phi_refine_matches_plain_trajectory(plane_geometry):
     )
     np.testing.assert_allclose(
         np.asarray(sol_on["mu"]), np.asarray(sol_off["mu"]),
-        rtol=5e-3, atol=1e-6,
+        rtol=5e-3, atol=5e-6,
     )
 
 

@@ -101,6 +101,22 @@ def test_bench_sharded_cg_smoke():
     assert result["halo_vs_raw_collective_bytes"] < 1.0
 
 
+def test_profile_large_smoke():
+    out = _run(
+        [
+            os.path.join(SCRIPTS, "profile_large.py"),
+            "--n_space", "12", "--ntime", "4", "--iters", "2",
+            "--f64_solve_race",
+        ]
+    )
+    result = _last_json(out)
+    assert "iteration_ms" in result and "cg_solve_ms" in result
+    assert "f64_solve_race_ms" in result
+    assert set(result["f64_solve_race_ms"]) == {
+        "refined_f32_window", "plain_f64_ell",
+    }
+
+
 @pytest.mark.parametrize("script", ["bench_large.py", "reference_large.py"])
 def test_other_scripts_importable(script):
     """The remaining experiment drivers at least parse and show --help."""

@@ -151,10 +151,16 @@ def main():
                 "band_diagonals": int(band.blocks.shape[0]) if band else None,
                 "window_width": int(wop.a_tiles.shape[1]) if wop else None,
                 "tile_rows": (
-                    int(wop.a_tiles.shape[0] // wop.starts.shape[0])
+                    int(wop.a_tiles.shape[0] // wop.sub_off.shape[0])
                     if wop
                     else args.tile_rows
                 ),
+                "group": (
+                    int(wop.sub_off.shape[0] // wop.starts.shape[0])
+                    if wop
+                    else None
+                ),
+                "super_width": int(wop.ws_marker.shape[0]) if wop else None,
             }
         ),
         flush=True,

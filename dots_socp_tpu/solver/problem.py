@@ -262,6 +262,17 @@ def build_problem(
         )
     elif phi_refine in ("on", "off"):
         phi_refine = phi_refine == "on"
+    if phi_refine and (sharded or space_partitions > 1):
+        # cg_solve's refined path requires the unsharded single-partition
+        # CG (halo is None, not space_sharded); an f64 phi carried against
+        # a sharded f32 solve would break the fori_loop carry dtype.
+        import logging as _logging
+
+        _logging.getLogger(__name__).warning(
+            "phi_refine is not supported on the space-sharded path; "
+            "disabling it for this run"
+        )
+        phi_refine = False
     phi_refine = bool(phi_refine) and laplacian_mode == "cg"
     if laplacian_mode == "spectral":
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)

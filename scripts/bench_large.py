@@ -12,51 +12,30 @@ Usage: python scripts/bench_large.py --n_space 290 --n_time 31 --iters 200
 import argparse
 import json
 import logging
+import os
+import sys
 import time
+
+# Self-bootstrap: runnable without PYTHONPATH (round-3 lost a chip run to a
+# bare `python scripts/...` invocation failing the package import).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(n_space: int, n_time: int, dtype: str, cg_max_iters: int):
+    # One construction path: __graft_entry__._build threads every state
+    # field (incl. the f64 phi under phi_refine) so this script cannot
+    # drift from the production iteration it benchmarks.
     logging.disable(logging.CRITICAL)
-    import jax
+    import __graft_entry__ as graft
 
-    from dots_socp_tpu.data.loader import load_example
-    from dots_socp_tpu.geometry.normalize import normalize_geometry
-    from dots_socp_tpu.ops.mesh_ops import grad_space
-    from dots_socp_tpu.ops.time_stencils import decouple_space_adjoint, grad_time
-    from dots_socp_tpu.solver.problem import build_problem
-    from dots_socp_tpu.solver.state import init_state
-
-    _, geometry, _ = load_example(
-        example_name="plane", kwargs_generating_mesh={"n": n_space}
+    return graft._build(
+        n_space,
+        n_time,
+        dtype,
+        pad_multiple=128,
+        laplacian_mode="cg",
+        cg_max_iters=cg_max_iters,
     )
-    geometry, _ = normalize_geometry(geometry)
-    with jax.default_device(jax.devices("cpu")[0]):
-        config, data, extras = build_problem(
-            n_time,
-            geometry,
-            dtype=dtype,
-            pad_multiple=128,
-            laplacian_mode="cg",
-            cg_max_iters=cg_max_iters,
-        )
-        dt = config.stepsize_time
-        ops = data.ops
-        state = init_state(
-            n_time,
-            config.n_vertices,
-            config.n_triangles,
-            extras["mu0_padded"],
-            extras["mu1_padded"],
-            dt,
-            grad_time_fn=lambda p: grad_time(dt, p),
-            grad_space_fn=lambda p: grad_space(ops, p),
-            decouple_adjoint_fn=decouple_space_adjoint,
-            dtype=config.jnp_dtype,
-        )
-    exec_device = jax.devices()[0]
-    if exec_device.platform != "cpu":
-        data, state = jax.device_put((data, state), exec_device)
-    return config, data, state
 
 
 def main():

@@ -41,6 +41,14 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.dtype == "float64":
+        # Must precede building the operator pytrees: f64 leaves created
+        # while x64 is off silently downcast to f32 (build_cg_operator
+        # enables the flag itself, but by then build_surface_ops has
+        # already materialized its leaves).
+        jax.config.update("jax_enable_x64", True)
+
     import jax.numpy as jnp
 
     from dots_socp_tpu.geometry.generators import generate_plane_mesh

@@ -448,24 +448,27 @@ def test_pallas_window_spmv_matches_assembled(mesh, ops, group):
     np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_cg_solve_window_path_matches_ell(mesh, ops):
+@pytest.mark.parametrize("refined", [False, True])
+def test_cg_solve_window_path_matches_ell(mesh, ops, refined):
     """cg_solve through the Pallas window matvec (interpret mode) must agree
-    with the ELL path on the same shifted systems. At f64 the window engages
-    through the refined path (f32 inner CG + f64 refinement), which must
-    reach f64-grade agreement with the plain f64 ELL CG."""
+    with the ELL path on the same shifted systems -- both as the plain f32
+    window CG (the phi_refine=off production path) and, at f64, through
+    the refined path (f32 inner CG + f64 refinement), which must reach
+    f64-grade agreement with the plain f64 ELL CG."""
     vertices, triangles = mesh
     _, angles, _ = triangle_quantities(vertices, triangles)
     lap = cotan_laplacian(triangles, angles, vertices.shape[0])
     T = 5
     dt = 1.0 / T
     av = np.asarray(ops.av)
+    dt_op = DT if refined else jnp.float32
 
     op_ell = build_cg_operator(
-        T, dt, av, lap, dtype=DT, deflation_k=8, use_pallas_spmv=False
+        T, dt, av, lap, dtype=dt_op, deflation_k=8, use_pallas_spmv=False
     )
     op_win = build_cg_operator(
-        T, dt, av, lap, dtype=DT, deflation_k=8, use_pallas_spmv=True,
-        spmv_tile_rows=64, refine=True,
+        T, dt, av, lap, dtype=dt_op, deflation_k=8, use_pallas_spmv=True,
+        spmv_tile_rows=64, refine=refined,
     )
     assert op_win.window is not None
     assert op_win.window.jacobi_p.dtype == jnp.float32
@@ -473,15 +476,13 @@ def test_cg_solve_window_path_matches_ell(mesh, ops):
     rng = np.random.default_rng(32)
     rhs = rng.standard_normal((T + 1, vertices.shape[0]))
     rhs -= rhs.mean()
+    rhs = jnp.asarray(rhs, dtype=dt_op)
 
-    x_ell = np.asarray(
-        cg_solve(ops, op_ell, jnp.asarray(rhs), max_iters=600, rtol=1e-8)
-    )
-    x_win = np.asarray(
-        cg_solve(ops, op_win, jnp.asarray(rhs), max_iters=600, rtol=1e-8)
-    )
+    rtol = 1e-8 if refined else 1e-5
+    x_ell = np.asarray(cg_solve(ops, op_ell, rhs, max_iters=600, rtol=rtol))
+    x_win = np.asarray(cg_solve(ops, op_win, rhs, max_iters=600, rtol=rtol))
     diff = x_ell - x_win
-    assert np.abs(diff - diff.mean()).max() < 1e-6
+    assert np.abs(diff - diff.mean()).max() < (1e-6 if refined else 5e-4)
 
 
 def test_spectral_eigh_disk_cache(mesh, ops, tmp_path, monkeypatch):

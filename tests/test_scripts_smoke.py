@@ -117,7 +117,24 @@ def test_profile_large_smoke():
     }
 
 
-@pytest.mark.parametrize("script", ["bench_large.py", "reference_large.py"])
+def test_bench_large_smoke():
+    """Full tiny-shape run (not just --help): the imports and the
+    phi_refine-carrying run_chunk path live inside build()/main(), which
+    --help never reaches -- a bench_large crash slipped through CI that
+    way in round 4."""
+    out = _run(
+        [
+            os.path.join(SCRIPTS, "bench_large.py"),
+            "--n_space", "12", "--n_time", "4", "--iters", "3",
+            "--cg_max_iters", "5",
+        ]
+    )
+    result = _last_json(out)
+    assert result["value"] > 0
+    assert "kkt_stop_error" in result
+
+
+@pytest.mark.parametrize("script", ["reference_large.py"])
 def test_other_scripts_importable(script):
     """The remaining experiment drivers at least parse and show --help."""
     path = os.path.join(SCRIPTS, script)

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--skip_histogram", action="store_true")
     ap.add_argument("--snapshot", default=None,
                     help="crash-safe state snapshot path (resumes if present)")
+    ap.add_argument("--snapshot_every", type=float, default=120.0,
+                    help="seconds between snapshots; raise it at V>=195k "
+                    "where the multi-GB device->host state fetch through "
+                    "the remote relay can itself crash the TPU worker")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "float64"],
                     help="solver dtype; at V>=46k the f32 roundoff floor "
@@ -77,7 +81,7 @@ def main():
         sigma_freeze_error=args.sigma_freeze_error,
         max_chunk=args.max_chunk,
         snapshot_path=args.snapshot,
-        snapshot_every=120.0,
+        snapshot_every=args.snapshot_every,
     )
     wall = time.perf_counter() - t0
     history.print_end_history()

@@ -134,14 +134,22 @@ def bench_large():
 
         np.asarray(chain(wop, x0, np.int32(1)))[0, 0]
         np.asarray(chain(wop, x0, np.int32(1 + MATVEC_ITERS)))[0, 0]
-        t0 = time.perf_counter()
-        np.asarray(chain(wop, x0, np.int32(1)))[0, 0]
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        np.asarray(chain(wop, x0, np.int32(1 + MATVEC_ITERS)))[0, 0]
-        t_many = time.perf_counter() - t0
+
+        def best_of(n_apps, repeats=3):
+            # Min over repeats: the remote relay adds multi-ms jitter per
+            # dispatch, and a single inflated short-run measurement once
+            # produced a nonsense 35 us/matvec by over-subtracting.
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                np.asarray(chain(wop, x0, np.int32(n_apps)))[0, 0]
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_one = best_of(1)
+        t_many = best_of(1 + MATVEC_ITERS)
         result["window_matvec_us"] = round(
-            (t_many - t_one) / MATVEC_ITERS * 1e6, 1
+            max(t_many - t_one, 0.0) / MATVEC_ITERS * 1e6, 1
         )
         result["window_width"] = int(wop.a_tiles.shape[1])
     return result

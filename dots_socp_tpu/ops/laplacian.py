@@ -238,6 +238,11 @@ class CGOperator(NamedTuple):
     # permuted preconditioner arrays for the Pallas MXU SpMV kernel (built
     # on the TPU backend in float32; None elsewhere -> ELL fallback).
     window: object = None
+    # Optional `sharded_window.ShardedWindow`: per-shard window tiles +
+    # exchange codes running the same kernel under shard_map on a
+    # space-sharded problem (built instead of `window` when shard_parts is
+    # given; None -> halo/incidence fallback).
+    swindow: object = None
     # Optional float64 leaves for mixed-precision iterative refinement
     # (`refine=True` at build): the f64 TRUE-residual matvec around the f32
     # inner CG. None disables refinement.
@@ -245,6 +250,15 @@ class CGOperator(NamedTuple):
     av_hi: jnp.ndarray = None
     shifts_hi: jnp.ndarray = None
     u_time_hi: jnp.ndarray = None
+    # (V,) 1.0 on real vertices, 0.0 on padding slots (structurally empty
+    # Laplacian rows). On the singular (shift ~ 0) row the padded system's
+    # null space is span{1_real} + one axis per padding slot; consistency
+    # projection must therefore zero the padding entries and subtract the
+    # REAL-vertex mean -- subtracting the global mean instead leaves an
+    # irreducible residual on slots whose Jacobi diagonal is ~1/0
+    # (overflows to inf in f32 and stalls the whole row; measured on the
+    # 25-dummy blocked layout at V=1681).
+    real_mask: jnp.ndarray = None
 
 
 def _ritz_cache_dir() -> str:
@@ -386,6 +400,7 @@ def build_cg_operator(
     spmv_tile_rows: int | None = None,  # None: auto {256, 512} by traffic
     refine: bool = False,
     coords=None,
+    shard_parts: int | None = None,
 ) -> CGOperator:
     """Set up the matrix-free CG solver for meshes too large to densify.
 
@@ -424,6 +439,13 @@ def build_cg_operator(
     scale = np.abs(shifts).max() * av.max() + np.abs(lap_diag).max()
     null_row = (np.abs(shifts) * av.max() < 1e-10 * scale).astype(np.float64)
     jacobi = 1.0 / np.maximum(diag, 1e-30 * scale)
+    # Padding slots (structurally empty rows): their residual is pinned at
+    # exactly 0 on the singular row (see `real_mask`), so zero the ~1/0
+    # Jacobi entries there instead of letting them overflow to inf in f32.
+    real = (lap_diag != 0).astype(np.float64)
+    jacobi = np.where(
+        (null_row[:, None] > 0.5) & (real[None, :] < 0.5), 0.0, jacobi
+    )
 
     if deflation_k > 0 and hasattr(lap_space, "diagonal"):
         q, w = _ritz_pairs_cached(lap_space, av, deflation_k)
@@ -455,9 +477,32 @@ def build_cg_operator(
             dtype == jnp.float32 or refine
         ) and jax.default_backend() == "tpu"
     window = None
+    swindow = None
     if n_time + 1 > 128:
         use_pallas_spmv = False  # T+1 modes must fit the kernel's lanes
-    if use_pallas_spmv and hasattr(lap_space, "diagonal"):
+    if use_pallas_spmv and shard_parts and hasattr(lap_space, "diagonal"):
+        # Space-sharded problem (blocked layout): per-shard window tiles
+        # running the same kernel under shard_map (`ops.sharded_window`).
+        from dots_socp_tpu.ops.sharded_window import (
+            ShardedWindow,
+            build_sharded_window,
+        )
+
+        built = build_sharded_window(
+            lap_space,
+            av.shape[0] // shard_parts,
+            shard_parts,
+            av=av,
+            jacobi=jacobi,
+            s_vec=1.0 / np.sqrt(av),
+            defl_q=q,
+            real=real,
+            tile_rows=spmv_tile_rows,
+        )
+        if built is not None:
+            sw, _meta = built
+            swindow = ShardedWindow(*(jnp.asarray(leaf) for leaf in sw))
+    elif use_pallas_spmv and hasattr(lap_space, "diagonal"):
         from dots_socp_tpu.ops.pallas_spmv import (
             WindowOperator,
             build_window_tiles,
@@ -514,6 +559,8 @@ def build_cg_operator(
         ell_idx=jnp.asarray(ell_idx),
         ell_w=jnp.asarray(ell_w, dtype=dtype),
         window=window,
+        swindow=swindow,
+        real_mask=jnp.asarray(real, dtype=dtype),
         **hi,
     )
 
@@ -670,6 +717,7 @@ def cg_solve(
     mesh_axes=None,
     space_sharded=False,
     return_iters=False,
+    ops_hi=None,
 ):
     """Batched spectrally-preconditioned CG over the T+1 shifted SPD systems.
     With return_iters=True, also returns the inner iteration count (for
@@ -716,8 +764,12 @@ def cg_solve(
     rtol = jnp.asarray(rtol, dtype=rhs.dtype)
     has_deflation = op.defl_q.shape[-1] > 0
 
-    use_refine = (
-        op.ell_w_hi is not None and halo is None and not space_sharded
+    # Refinement on a space-sharded problem needs the f64 SurfaceOps
+    # (`ProblemData.ops_hi`) for the partitionable incidence-form true
+    # residual; unsharded refinement keeps the cheaper f64 ELL matvec.
+    sharded_space = halo is not None or space_sharded
+    use_refine = op.ell_w_hi is not None and (
+        not sharded_space or ops_hi is not None
     )
     # The refinement's inner correction solves always run in f32 (every
     # inner iteration rides the f32 window kernel) -- including for f64
@@ -727,7 +779,9 @@ def cg_solve(
 
     # The Pallas window kernel runs the CG loop in permuted vertex order
     # (permuting once at entry/exit instead of gathering every matvec); the
-    # preconditioner arrays come pre-permuted, f32, on the operator.
+    # preconditioner arrays come pre-permuted, f32, on the operator. On a
+    # space-sharded problem the per-shard variant (`op.swindow`) runs the
+    # same kernel under shard_map in shard-local window order.
     wop = op.window
     use_window = (
         wop is not None
@@ -735,9 +789,20 @@ def cg_solve(
         and not space_sharded
         and work == jnp.float32
     )
+    swop = op.swindow
+    use_swindow = (
+        swop is not None
+        and halo is not None
+        and mesh_axes is not None
+        and work == jnp.float32
+    )
     if use_window:
         jacobi, defl_q, s_vec, av_vec = (
             wop.jacobi_p, wop.defl_q_p, wop.s_p, wop.av_p,
+        )
+    elif use_swindow:
+        jacobi, defl_q, s_vec, av_vec = (
+            swop.jacobi_p, swop.defl_q_p, swop.s_p, swop.av_p,
         )
     else:
         jacobi, defl_q, s_vec, av_vec = (
@@ -750,17 +815,40 @@ def cg_solve(
     defl_winv_w = op.defl_winv.astype(work)
     ell_w_work = op.ell_w.astype(work)
 
+    # Real-vertex mask (padding slots excluded from the null-space
+    # projection; see `CGOperator.real_mask`). Sums/means over it are
+    # invariant under the RCM permutation.
+    real = (
+        op.real_mask
+        if op.real_mask is not None
+        else jnp.ones_like(op.s)
+    )
+    n_real = real.sum()
+
     def deflate(v):
-        # Singular rows (-L at shift=0) have the constant vector as null
-        # space; consistency requires b (and keeps x) orthogonal to it.
-        # (Row means are invariant under the RCM permutation.)
-        mean = v.mean(axis=1, keepdims=True)
-        return v - op.null_row[:, None] * mean
+        # Singular rows (-L at shift=0): the padded system's null space is
+        # the constant over REAL vertices plus one axis per padding slot;
+        # consistency projects both out of b (and keeps x orthogonal).
+        rm = real.astype(v.dtype)
+        nr = op.null_row.astype(v.dtype)[:, None]
+        mean = (v * rm[None, :]).sum(axis=1, keepdims=True) / n_real.astype(
+            v.dtype
+        )
+        v = v - nr * mean
+        return jnp.where(nr > 0, v * rm[None, :], v)
 
     def matvec(x):
         if use_window:
             # Zero-gather MXU SpMV over RCM-windowed dense tiles.
             lap = window_matvec(wop, x)
+        elif use_swindow:
+            # Per-shard window tiles under shard_map: one boundary-sized
+            # all-gather, then the same kernel on each shard's rows.
+            from dots_socp_tpu.ops.sharded_window import (
+                sharded_window_matvec,
+            )
+
+            lap = sharded_window_matvec(swop, mesh_axes, x)
         elif halo is None and not space_sharded:
             # Padded-ELL SpMV: one fixed-width neighbor gather per vertex.
             # ~3x less HBM traffic than composing div(area * grad(x))
@@ -799,6 +887,13 @@ def cg_solve(
         return tol * tol * jnp.maximum(b_norm_row, b_norm_row.mean())
 
     null_w = op.null_row.astype(work)
+    if use_window:
+        real_w = real[wop.perm].astype(work)
+    elif use_swindow:
+        real_w = swop.real_p.astype(work)
+    else:
+        real_w = real.astype(work)
+    n_real_w = n_real.astype(work)
 
     def pcg_core(b, x, thresh):
         """Inner PCG in the work dtype; b/x in eigenbasis, original order.
@@ -814,9 +909,16 @@ def cg_solve(
         if use_window:
             b = b[:, wop.perm]
             x = x[:, wop.perm]
+        elif use_swindow:
+            from dots_socp_tpu.ops.sharded_window import window_permute
+
+            b = window_permute(swop, mesh_axes, b)
+            x = window_permute(swop, mesh_axes, x)
 
         def dfl(v):
-            return v - null_w[:, None] * v.mean(axis=1, keepdims=True)
+            mean = (v * real_w[None, :]).sum(axis=1, keepdims=True) / n_real_w
+            v = v - null_w[:, None] * mean
+            return jnp.where(null_w[:, None] > 0, v * real_w[None, :], v)
 
         r = dfl(b - matvec(x))
         z = precond(r)
@@ -830,17 +932,19 @@ def cg_solve(
             den = (p * ap).sum(axis=1, keepdims=True)
             # den <= 0 on an active row is rounding-level breakdown on the
             # singular shift: freeze the row this iteration instead of
-            # amplifying noise through a huge/negative step.
-            alpha = jnp.where(
-                active & (den > 0), rz / jnp.maximum(den, 1e-30), 0.0
-            )
+            # amplifying noise through a huge/negative step. The same mask
+            # must govern the beta/p/rz updates -- with alpha = 0, r is
+            # unchanged, so rz_new == rz would give beta == 1 and p = z + p
+            # would grow every iteration while the row makes no progress.
+            step = active & (den > 0)
+            alpha = jnp.where(step, rz / jnp.maximum(den, 1e-30), 0.0)
             x = x + alpha * p
             r = dfl(r - alpha * ap)
             z = precond(r)
             rz_new = (r * z).sum(axis=1, keepdims=True)
-            beta = jnp.where(active, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-            p = jnp.where(active, z + beta * p, p)
-            rz = jnp.where(active, rz_new, rz)
+            beta = jnp.where(step, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            p = jnp.where(step, z + beta * p, p)
+            rz = jnp.where(step, rz_new, rz)
             return x, r, p, rz, it + 1
 
         def cond(state):
@@ -851,6 +955,10 @@ def cg_solve(
         x, _, _, _, iters = jax.lax.while_loop(cond, body, (x, r, p, rz, 0))
         if use_window:
             x = x[:, wop.iperm]
+        elif use_swindow:
+            from dots_socp_tpu.ops.sharded_window import window_permute
+
+            x = window_permute(swop, mesh_axes, x, inverse=True)
         return x, iters
 
     if not use_refine:
@@ -873,7 +981,15 @@ def cg_solve(
     thresh_w = thresh64.astype(work)
 
     def matvec_hi(x):
-        lap = ell_matvec(op, x, weights=op.ell_w_hi)
+        if sharded_space:
+            # f64 halo/incidence matvec: shard-local gathers + one
+            # boundary-sized all-gather per application (the ELL gather's
+            # global indices would all-gather x under GSPMD). The f64
+            # incidence composition div(area_f * grad(x)) equals the
+            # assembled f64 cotan matrix to rounding.
+            lap = laplacian_apply(ops_hi, x, halo, mesh_axes, (None,))
+        else:
+            lap = ell_matvec(op, x, weights=op.ell_w_hi)
         return -(lap + op.shifts_hi[:, None] * op.av_hi[None, :] * x)
 
     max_refine = 6

@@ -142,13 +142,23 @@ def build_window_tiles(
 
     def tile_starts(p, tv):
         n_tiles = -(-v // tv)
-        st = np.zeros(n_tiles, dtype=np.int64)
+        st = np.full(n_tiles, -1, dtype=np.int64)
         for t in range(n_tiles):
             lo, hi = t * tv, min((t + 1) * tv, v)
             cols = p.indices[p.indptr[lo] : p.indptr[hi]]
             if cols.size:
                 st[t] = int(cols.min())
-        return st
+        # Structurally empty tiles inherit a neighboring tile's start: a 0
+        # start grouped (G>1) with tiles whose starts are near V would
+        # inflate the shared super-window Ws to ~V. Forward fill, then
+        # backward fill any leading empties; all-empty degenerates to 0.
+        for t in range(1, n_tiles):
+            if st[t] < 0:
+                st[t] = st[t - 1]
+        for t in range(n_tiles - 2, -1, -1):
+            if st[t] < 0:
+                st[t] = st[t + 1]
+        return np.maximum(st, 0)
 
     best = None
     for name, cand in candidates.items():
@@ -166,9 +176,18 @@ def build_window_tiles(
                 s_sup = sup.min(axis=1)
                 ws = int((sup - s_sup[:, None] + w).max())
                 ws = -(-ws // 8) * 8
+                # Kernel VMEM: the double-buffered x window (2*Ws*128 f32)
+                # plus the pipelined a-tile and output blocks. Candidates
+                # that exceed the budget would fail to compile (pinned
+                # tile_rows/group sweeps can construct them).
+                vmem = (2 * ws * _LANES + 2 * g * tv * (w + _LANES)) * 4
+                if vmem > _VMEM_BUDGET:
+                    continue
                 traffic = v * w * 4 + s_sup.shape[0] * ws * _LANES * 4
                 if best is None or traffic < best[0]:
                     best = (traffic, name, cand, p, tv, w, g, st)
+    if best is None:
+        return None
     traffic, name, perm, p, tv, width, g, st = best
 
     n_tiles = st.shape[0]
@@ -252,6 +271,10 @@ def _window_kernel(w_static, ws_static, tv, g, lanes):
 #: targets and lane-sliced DMA sources both crash the compiler), so the
 #: T+1 time modes are zero-padded up to one full lane register.
 _LANES = 128
+
+#: VMEM bytes a window-tile candidate may claim (x double buffer + pipelined
+#: a-tile/output blocks); v5 cores have ~16 MiB, leave headroom for Mosaic.
+_VMEM_BUDGET = 12 << 20
 
 
 def window_matvec(op: WindowOperator, x, interpret: bool | None = None):

@@ -97,6 +97,9 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
         inc_mask=s("space", None),
         diag_soc=s("space", None),
     )
+    # The f64 refinement ops (present on sharded phi_refine problems) carry
+    # the same layout as the work-precision ops.
+    ops_hi = ops if data.ops_hi is not None else None
     spectral = None
     if data.spectral is not None:
         spectral = SpectralFactor(
@@ -114,6 +117,26 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
         window_sh = None
         if data.cg_op.window is not None:
             window_sh = jax.tree.map(lambda _: rep, data.cg_op.window)
+        swindow_sh = None
+        if data.cg_op.swindow is not None:
+            from dots_socp_tpu.ops.sharded_window import ShardedWindow
+
+            swindow_sh = ShardedWindow(
+                a_tiles=s("space", None, None),
+                starts=s("space", None),
+                sub_off=s("space", None),
+                exp_codes=s("space", None),
+                win_codes=s("space", None),
+                state_in=s("space", None),
+                state_out=s("space", None),
+                ws_marker=rep,
+                av_p=s("space"),
+                jacobi_p=s(None, "space"),
+                s_p=s("space"),
+                defl_q_p=s("space", None),
+                real_p=s("space"),
+            )
+        opt = lambda leaf, sh: sh if leaf is not None else None
         cg_op = CGOperator(
             shifts=rep,
             jacobi=s(None, "space"),
@@ -131,6 +154,13 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
             ell_idx=s("space", None),
             ell_w=s("space", None),
             window=window_sh,
+            swindow=swindow_sh,
+            # f64 refinement leaves (present when phi_refine engaged).
+            ell_w_hi=opt(data.cg_op.ell_w_hi, s("space", None)),
+            av_hi=opt(data.cg_op.av_hi, s("space")),
+            shifts_hi=opt(data.cg_op.shifts_hi, rep),
+            u_time_hi=opt(data.cg_op.u_time_hi, rep),
+            real_mask=opt(data.cg_op.real_mask, s("space")),
         )
     halo = None
     if data.halo is not None:
@@ -153,6 +183,7 @@ def problem_shardings(mesh: Mesh, data: ProblemData) -> ProblemData:
         c_comp_rho=rep,
         c_comp_m=rep,
         halo=halo,
+        ops_hi=ops_hi,
     )
 
 

@@ -101,6 +101,11 @@ class ProblemData(NamedTuple):
     # Shard-local halo-exchange tables (`parallel.halo.HaloTables`), present
     # only when the problem was built with space_partitions > 1.
     halo: Optional[tuple] = None
+    # float64 SurfaceOps (shared int tables, f64 float leaves), present only
+    # for space-sharded problems with phi_refine: the refinement's f64
+    # true-residual matvec runs through the partitionable halo/incidence
+    # form (the global ELL gather would all-gather x under GSPMD).
+    ops_hi: Optional[SurfaceOps] = None
 
 
 def _round_up(x: int, multiple: int) -> int:
@@ -247,38 +252,25 @@ def build_problem(
     sharded = mesh_axes is not None and max(mesh_axes) > 1
     if phi_refine in ("auto", None):
         # f32: refinement restores the f64-grade solve accuracy large-mesh
-        # convergence needs. f64 on TPU: refinement keeps every inner CG
-        # iteration on the fast f32 window kernel (emulated-f64 arithmetic
-        # only touches the once-per-pass true residual); f64 on CPU keeps
-        # the plain f64 CG (tests, goldens).
-        phi_refine = (
-            laplacian_mode == "cg"
-            and not sharded
-            and space_partitions == 1
-            and (
-                dtype == "float32"
-                or jax.default_backend() == "tpu"
-            )
+        # convergence needs -- sharded or not (the sharded path carries the
+        # f64 true residual through the halo/incidence matvec). f64 on TPU:
+        # refinement keeps every inner CG iteration on the fast f32 window
+        # kernel (emulated-f64 arithmetic only touches the once-per-pass
+        # true residual); f64 on CPU keeps the plain f64 CG (tests,
+        # goldens).
+        phi_refine = laplacian_mode == "cg" and (
+            dtype == "float32" or jax.default_backend() == "tpu"
         )
     elif phi_refine in ("on", "off"):
         phi_refine = phi_refine == "on"
-    if phi_refine and (sharded or space_partitions > 1):
-        # cg_solve's refined path requires the unsharded single-partition
-        # CG (halo is None, not space_sharded); an f64 phi carried against
-        # a sharded f32 solve would break the fori_loop carry dtype.
-        import logging as _logging
-
-        _logging.getLogger(__name__).warning(
-            "phi_refine is not supported on the space-sharded path; "
-            "disabling it for this run"
-        )
-        phi_refine = False
     phi_refine = bool(phi_refine) and laplacian_mode == "cg"
     if laplacian_mode == "spectral":
         spectral = build_spectral_factor(n_time, dt, av_p, lap, eps=eps, dtype=jdtype)
     elif laplacian_mode == "cg":
-        # The Pallas window SpMV is single-device; any sharded mesh keeps
-        # the ELL / halo matvec (auto otherwise: f32 on the TPU backend).
+        # Window SpMV auto-selection: single-device window kernel on an
+        # unsharded TPU problem; the per-shard variant (shard_parts) on a
+        # space-sharded one; ELL for time-only sharding (the global kernel
+        # is a single-device program).
         if cg_deflation_k is None:
             # Mesh-Laplacian eigenvalues grow ~linearly with index, so
             # deflating k modes cuts the Jacobi-CG condition number ~V/k:
@@ -310,12 +302,36 @@ def build_problem(
             dtype=jdtype,
             deflation_k=cg_deflation_k,
             rtol=cg_rtol,
-            use_pallas_spmv=False if sharded else None,
+            use_pallas_spmv=(
+                False if (sharded and space_partitions == 1) else None
+            ),
             refine=phi_refine,
             coords=coords_p,
+            shard_parts=space_partitions if space_partitions > 1 else None,
         )
     else:
         raise ValueError(f"unknown laplacian_mode: {laplacian_mode}")
+
+    # Refinement on a space-sharded problem: the f64 true-residual matvec
+    # runs through the halo/incidence form, which needs f64 float leaves
+    # (f32-rounded matrix entries would cap the attainable phi accuracy at
+    # ~cond * eps32 -- exactly the floor refinement exists to remove).
+    # build_cg_operator(refine=True) above enabled x64, so the f64 arrays
+    # hold. Int tables are shared with `ops`.
+    ops_hi = None
+    space_is_sharded = space_partitions > 1 or (
+        mesh_axes is not None and mesh_axes[1] > 1
+    )
+    if phi_refine and space_is_sharded:
+        ops_hi = SurfaceOps(
+            tri=ops.tri,
+            grad_basis=jnp.asarray(grad_basis_p, dtype=jnp.float64),
+            area_f=jnp.asarray(area_f_p, dtype=jnp.float64),
+            av=jnp.asarray(av_p, dtype=jnp.float64),
+            inc_table=ops.inc_table,
+            inc_mask=jnp.asarray(mask, dtype=jnp.float64),
+            diag_soc=ops.diag_soc,
+        )
 
     # KKT constants from the REAL mesh (padding must not bias them).
     mean_av = float(av.mean())
@@ -348,6 +364,7 @@ def build_problem(
         c_comp_rho=scalar(mean_av),
         c_comp_m=scalar(mean_af),
         halo=halo,
+        ops_hi=ops_hi,
     )
     mu0 = np.zeros(v_pad)
     mu0[vertex_slot] = np.asarray(geometry["mu0"], dtype=np.float64)

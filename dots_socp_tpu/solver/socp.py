@@ -191,8 +191,10 @@ def solver_socp(
         float32 true-residual floor eps32 * cond(L) ~ eps32/h^2, which at
         V >= 46k sits at ~2e-3 -- above tol=1e-4 -- and stalls KKT dual
         feasibility there regardless of the CG tolerance (the round-3
-        tight-CG control measured exactly this). auto = on for the f32
-        unsharded CG path, off elsewhere. The reference needs no analogue:
+        tight-CG control measured exactly this). auto = on for every f32 CG
+        path (sharded runs carry the f64 true residual through the
+        halo/incidence matvec -- `ProblemData.ops_hi`), plus f64 CG on the
+        TPU backend. The reference needs no analogue:
         it is float64 throughout with exact SuperLU solves
         (`socp/solver_socp.py:276-299`, `utils/laplacian_inverse_socp.py:34-59`).
     """

@@ -72,6 +72,7 @@ def solve_laplacian(config: ProblemConfig, data: ProblemData, state: SolverState
         max_iters=config.cg_max_iters,
         rtol=None,  # traced data.cg_op.rtol (host-adapted, no recompile)
         space_sharded=space_is_sharded,
+        ops_hi=data.ops_hi,
         **spmd,
     )
 

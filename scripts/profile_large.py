@@ -202,6 +202,12 @@ def main():
         from dots_socp_tpu.data.loader import load_example
         from dots_socp_tpu.geometry.normalize import normalize_geometry
 
+        # The race compares f64 solves: x64 must be on BEFORE rhs64 is
+        # created (the main _build only enables it when phi_refine engaged;
+        # in spectral / refine-off configs rhs64 would silently downcast to
+        # f32 and the "plain_f64_ell" lane would time an f32 solve).
+        jax.config.update("jax_enable_x64", True)
+
         _, geometry, _ = load_example(
             example_name="plane",
             kwargs_generating_mesh={"n": args.n_space},
@@ -216,6 +222,7 @@ def main():
             np.asarray(laplacian_rhs(config, data, state))[:, : vtx.shape[0]],
             dtype=jnp.float64,
         )
+        assert rhs64.dtype == jnp.float64, rhs64.dtype
         ops64 = None
         race = {}
         for name, kw in (

@@ -226,3 +226,103 @@ def test_snapshot_roundtrip_preserves_phi_dtype(tmp_path):
     assert restored.phi.dtype == jnp.float64
     assert restored.mu.dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(restored.phi), arrays["phi"])
+
+
+def _plane_cg_problem(n=40, **kw):
+    """(config, data, extras, rhs_real) for a plane mesh CG problem."""
+    from dots_socp_tpu.data.loader import load_example
+    from dots_socp_tpu.geometry.normalize import normalize_geometry
+    from dots_socp_tpu.solver.problem import build_problem
+
+    _, geometry, _ = load_example(
+        example_name="plane", kwargs_generating_mesh={"n": n}
+    )
+    geometry, _ = normalize_geometry(geometry)
+    config, data, extras = build_problem(
+        6, geometry, dtype="float32", laplacian_mode="cg",
+        cg_deflation_k=16, cg_rtol=1e-7, **kw,
+    )
+    rng = np.random.default_rng(0)
+    v_real = np.asarray(geometry["vertices"]).shape[0]
+    rhs_real = rng.standard_normal((7, v_real))
+    rhs_real -= rhs_real.mean(axis=1, keepdims=True)
+    return config, data, extras, rhs_real
+
+
+def test_sharded_refined_cg_matches_unsharded():
+    """The space-sharded refined phi solve (f64 true residual through the
+    halo/incidence matvec, `ProblemData.ops_hi`) must reproduce the
+    unsharded refined solve -- including the singular shift~0 row, whose
+    consistency projection must account for the blocked layout's padding
+    slots (zero them; subtract the REAL-vertex mean)."""
+    from dots_socp_tpu.ops.laplacian import cg_solve
+    from dots_socp_tpu.parallel.mesh import make_mesh, shard_problem
+
+    cfg_u, data_u, ex_u, rhs_real = _plane_cg_problem(phi_refine=True)
+    assert cfg_u.phi_refine and data_u.cg_op.ell_w_hi is not None
+    rhs_u = np.zeros((7, cfg_u.n_vertices), np.float32)
+    rhs_u[:, ex_u["vertex_slot"]] = rhs_real
+    x_u = cg_solve(data_u.ops, data_u.cg_op, jnp.asarray(rhs_u), max_iters=2000)
+
+    cfg_s, data_s, ex_s, _ = _plane_cg_problem(
+        phi_refine=True, space_partitions=4, mesh_axes=(2, 4)
+    )
+    assert cfg_s.phi_refine, "phi_refine must engage on the sharded path"
+    assert data_s.ops_hi is not None
+    assert data_s.ops_hi.grad_basis.dtype == jnp.float64
+    rhs_s = np.zeros((7, cfg_s.n_vertices), np.float32)
+    rhs_s[:, ex_s["vertex_slot"]] = rhs_real
+    data_sd = shard_problem(make_mesh(8, time_axis=2), data_s)
+    x_s = cg_solve(
+        data_sd.ops, data_sd.cg_op, jnp.asarray(rhs_s), max_iters=2000,
+        halo=data_sd.halo, mesh_axes=(2, 4), ops_hi=data_sd.ops_hi,
+    )
+    assert x_u.dtype == jnp.float64 and x_s.dtype == jnp.float64
+
+    a = np.asarray(x_u)[:, ex_u["vertex_slot"]]
+    b = np.asarray(x_s)[:, ex_s["vertex_slot"]]
+    scale = np.max(np.abs(a))
+    assert np.max(np.abs(a - b)) / scale < 1e-5, np.max(np.abs(a - b)) / scale
+
+
+def test_blocked_cg_singular_row_solved():
+    """Regression: on the blocked layout (padding slots interleaved), plain
+    f32 CG must still SOLVE the singular shift~0 system -- before the
+    padding-aware consistency projection its residual stayed at 100%."""
+    from dots_socp_tpu.ops.laplacian import build_time_laplacian, cg_solve
+    from dots_socp_tpu.geometry.surface import (
+        cotan_laplacian as _cotan,
+        triangle_quantities as _triq,
+        vertex_areas as _va,
+    )
+    from dots_socp_tpu.data.loader import load_example
+    from dots_socp_tpu.geometry.normalize import normalize_geometry
+    from dots_socp_tpu.parallel.mesh import make_mesh, shard_problem
+
+    cfg_s, data_s, ex_s, rhs_real = _plane_cg_problem(phi_refine=False,
+        space_partitions=4, mesh_axes=(2, 4))
+    assert cfg_s.n_vertices > rhs_real.shape[1]  # padding slots exist
+    rhs_s = np.zeros((7, cfg_s.n_vertices), np.float32)
+    rhs_s[:, ex_s["vertex_slot"]] = rhs_real
+    data_sd = shard_problem(make_mesh(8, time_axis=2), data_s)
+    x = np.asarray(cg_solve(
+        data_sd.ops, data_sd.cg_op, jnp.asarray(rhs_s), max_iters=2000,
+        halo=data_sd.halo, mesh_axes=(2, 4),
+    ))[:, ex_s["vertex_slot"]]
+
+    _, geometry, _ = load_example(
+        example_name="plane", kwargs_generating_mesh={"n": 40}
+    )
+    geometry, _ = normalize_geometry(geometry)
+    vtx = np.asarray(geometry["vertices"])
+    tri = np.asarray(geometry["triangles"])
+    area_f, angles, _ = _triq(vtx, tri)
+    av = _va(tri, area_f, vtx.shape[0]) / 3.0
+    lap = _cotan(tri, angles, vtx.shape[0]).toarray()
+    lam, u = np.linalg.eigh(build_time_laplacian(6, 1.0 / 6.0))
+    xb = u.T @ np.asarray(x, np.float64)
+    bb = u.T @ rhs_real
+    a_sing = int(np.argmin(np.abs(lam)))
+    r = (-bb[a_sing]) - (-(lap + lam[a_sing] * np.diag(av))) @ xb[a_sing]
+    r -= r.mean()
+    assert np.linalg.norm(r) / np.linalg.norm(bb[a_sing]) < 1e-4

@@ -207,34 +207,33 @@ def build_sharded_window(
     n_tiles = -(-v_chunk // min(tv_grid))  # provisional for sizing only
 
     def shard_tile_geometry(s_id, tv):
-        """(width, starts) of one shard's tiles in window coordinates."""
+        """(width, starts, order) of one shard's tiles in window coords."""
         pos = pos_by_shard[s_id]
         ext_rows = rows_by_shard[s_id]
         # Compressed order: local vertices sorted by window rank.
         local_rank = pos[:v_chunk]
         order = np.argsort(local_rank, kind="stable")  # compressed -> local
+        crank = np.empty(v_chunk, dtype=np.int64)
+        crank[order] = np.arange(v_chunk)
         n_tiles = -(-v_chunk // tv)
-        width = 8
-        starts = np.full(n_tiles, -1, dtype=np.int64)
         indptr, indices = ext_rows.indptr, ext_rows.indices
-        for t in range(n_tiles):
-            sel = order[t * tv : min((t + 1) * tv, v_chunk)]
-            cnt = (indptr[sel + 1] - indptr[sel]).sum()
-            if cnt == 0:
-                continue
-            cols = np.concatenate(
-                [indices[indptr[r] : indptr[r + 1]] for r in sel]
-            )
-            wpos = pos[cols]
-            starts[t] = int(wpos.min())
-            width = max(width, int(wpos.max()) - int(wpos.min()) + 1)
+        nnz_rows = np.repeat(np.arange(v_chunk), np.diff(indptr))
+        tile_of = crank[nnz_rows] // tv
+        wpos = pos[indices]
+        lo = np.full(n_tiles, np.iinfo(np.int64).max, dtype=np.int64)
+        hi = np.full(n_tiles, -1, dtype=np.int64)
+        np.minimum.at(lo, tile_of, wpos)
+        np.maximum.at(hi, tile_of, wpos)
+        filled = hi >= 0
+        width = int((hi[filled] - lo[filled] + 1).max(initial=8))
+        starts = np.where(filled, lo, -1)
         for t in range(1, n_tiles):
             if starts[t] < 0:
                 starts[t] = starts[t - 1]
         for t in range(n_tiles - 2, -1, -1):
             if starts[t] < 0:
                 starts[t] = starts[t + 1]
-        return -(-width // 8) * 8, np.maximum(starts, 0), order
+        return -(-max(width, 8) // 8) * 8, np.maximum(starts, 0), order
 
     best = None
     geom_cache = {}
@@ -320,15 +319,9 @@ def build_sharded_window(
         starts_all[s_id] = sup_start
         sub_off_all[s_id] = stp - np.repeat(sup_start, g)
         indptr, indices, data = ext_rows.indptr, ext_rows.indices, ext_rows.data
-        for t in range(n_tiles):
-            sel = order[t * tv : min((t + 1) * tv, v_chunk)]
-            for r_off, r in enumerate(sel):
-                cs = indices[indptr[r] : indptr[r + 1]]
-                if cs.size == 0:
-                    continue
-                a_tiles[s_id, t * tv + r_off, pos[cs] - stp[t]] = data[
-                    indptr[r] : indptr[r + 1]
-                ]
+        nnz_rows = np.repeat(np.arange(v_chunk), np.diff(indptr))
+        cr = crank[nnz_rows]  # tile-row index of each nonzero
+        a_tiles[s_id, cr, pos[indices] - stp[cr // tv]] = data
 
     # Window-layout preconditioner copies (global blocked index per slot).
     perm_global = (

@@ -49,8 +49,11 @@ def bench_tpu():
     def fetch(s):
         # Force completion with a real device->host transfer: on the remote
         # relay platform block_until_ready can return before the dispatch
-        # has executed, which would void wall-clock timing entirely.
-        return np.asarray(s.phi)[0, 0]
+        # has executed, which would void wall-clock timing entirely. The
+        # transfer is a SCALAR (device-side index first): the relay's data
+        # path has been observed degraded to ~0.4 MB/s, where fetching the
+        # full f64 phi (12 MB at n200) would take ~30 s per fetch.
+        return float(s.phi[0, 0])
 
     # Warm up / compile.
     state = run_chunk(config, data, state, np.int32(2))
@@ -93,7 +96,7 @@ def bench_large():
     assert config.laplacian_mode == "cg", config.laplacian_mode
 
     def fetch(s):
-        return np.asarray(s.phi)[0, 0]
+        return float(s.phi[0, 0])  # scalar transfer (see bench_tpu.fetch)
 
     state = run_chunk(config, data, state, np.int32(2))
     fetch(state)
@@ -132,8 +135,8 @@ def bench_large():
 
             return jax.lax.fori_loop(0, n, body, y)
 
-        np.asarray(chain(wop, x0, np.int32(1)))[0, 0]
-        np.asarray(chain(wop, x0, np.int32(1 + MATVEC_ITERS)))[0, 0]
+        float(chain(wop, x0, np.int32(1))[0, 0])
+        float(chain(wop, x0, np.int32(1 + MATVEC_ITERS))[0, 0])
 
         def best_of(n_apps, repeats=3):
             # Min over repeats: the remote relay adds multi-ms jitter per
@@ -142,7 +145,7 @@ def bench_large():
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                np.asarray(chain(wop, x0, np.int32(n_apps)))[0, 0]
+                float(chain(wop, x0, np.int32(n_apps))[0, 0])
                 best = min(best, time.perf_counter() - t0)
             return best
 

@@ -228,6 +228,35 @@ def main():
     cache_dir = "/tmp/jax_cache_dots_socp_bench"
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
 
+    # Watchdog: the remote relay's data path has been observed to stall
+    # outright (readbacks hang indefinitely, 2026-08-21). Emit a JSON error
+    # line instead of hanging the driver. Override via BENCH_WATCHDOG_SECS.
+    import signal
+
+    budget = int(os.environ.get("BENCH_WATCHDOG_SECS", "2400"))
+
+    def _watchdog(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": f"iALM iterations/s (plane n{N_SPACE}, T={N_TIME}, f32)",
+                    "value": None,
+                    "unit": "iter/s",
+                    "vs_baseline": None,
+                    "error": (
+                        f"bench watchdog fired after {budget}s: the TPU "
+                        "relay data path is stalled (see scripts/link_probe.py)"
+                    ),
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    if hasattr(signal, "SIGALRM") and budget > 0:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(budget)
+
     iters_per_sec, raw_iters_per_sec, config = bench_tpu()
     try:
         large = bench_large()

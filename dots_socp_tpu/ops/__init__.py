@@ -62,6 +62,11 @@ from dots_socp_tpu.ops.laplacian import (
     spectral_solve,
     build_time_laplacian,
 )
+from dots_socp_tpu.ops.sharded_window import (
+    ShardedWindow,
+    build_sharded_window,
+    sharded_window_matvec,
+)
 
 __all__ = [
     "SurfaceOps",
@@ -81,4 +86,7 @@ __all__ = [
     "build_spectral_factor",
     "spectral_solve",
     "build_time_laplacian",
+    "ShardedWindow",
+    "build_sharded_window",
+    "sharded_window_matvec",
 ]

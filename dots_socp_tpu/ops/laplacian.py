@@ -988,6 +988,15 @@ def cg_solve(
             # incidence composition div(area_f * grad(x)) equals the
             # assembled f64 cotan matrix to rounding.
             lap = laplacian_apply(ops_hi, x, halo, mesh_axes, (None,))
+        elif jax.default_backend() == "tpu":
+            # No native f64 on TPU: the emulated-f64 ELL matvec measured
+            # ~80 ms/pass at V=195k (80% of the whole iALM iteration went
+            # to the refinement's fixed cost). The double-float (two-f32)
+            # evaluation delivers ~eps32^2-grade residuals on the fast f32
+            # VPU instead (`ops.df64`; parity-tested to 1e-14 vs f64).
+            from dots_socp_tpu.ops.df64 import shifted_matvec_df64
+
+            return shifted_matvec_df64(op, x)
         else:
             lap = ell_matvec(op, x, weights=op.ell_w_hi)
         return -(lap + op.shifts_hi[:, None] * op.av_hi[None, :] * x)

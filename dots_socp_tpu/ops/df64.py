@@ -96,6 +96,34 @@ def ell_matvec_df64(op, x64):
     return jnp.moveaxis(out, 0, -1)
 
 
+def small_matmul_df64(u64, x64):
+    """(A, B) @ (B, ...) in double-float f32: exact TwoProd products with a
+    compensated TwoSum accumulation over the SMALL contraction dim B (the
+    time-eigentransform, B = T+1 <= 128; unrolled at trace time).
+
+    Same motivation as `ell_matvec_df64`: the refinement's f64
+    time-eigenbasis transforms cost ~21 ms/apply emulated at V=195k; a
+    plain f32 MXU pass would floor the transformed RHS's representation
+    error at eps32 * ||b||, which refinement then faithfully converges to
+    -- the wrong answer. Double-float keeps eps32^2-grade accuracy on VPU
+    f32 ops."""
+    f64 = jnp.float64
+    uh, ul = split_f64(u64)  # (A, B)
+    xh, xl = split_f64(x64)  # (B, ...)
+    a_dim, b_dim = u64.shape
+    lead = (1,) * (x64.ndim - 1)
+    shape = (a_dim,) + x64.shape[1:]
+    s = jnp.zeros(shape, jnp.float32)
+    comp = jnp.zeros(shape, jnp.float32)
+    for b in range(b_dim):
+        w_h = uh[:, b].reshape((a_dim,) + lead)
+        w_l = ul[:, b].reshape((a_dim,) + lead)
+        p, e = _two_prod(w_h, xh[b][None])
+        s, e1 = _two_sum(s, p)
+        comp = comp + (e1 + e) + (w_h * xl[b][None] + w_l * xh[b][None])
+    return s.astype(f64) + comp.astype(f64)
+
+
 def shifted_matvec_df64(op, x64):
     """-(L_space + shift * diag(av)) x, the refinement true-residual
     operator, with the Laplacian part in double-float f32 and the

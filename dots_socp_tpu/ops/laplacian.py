@@ -971,11 +971,18 @@ def cg_solve(
     # ---- mixed-precision iterative refinement ------------------------------
     f64 = jnp.float64
     ut = op.u_time_hi
-    b64 = deflate(-(ut.T @ rhs.astype(f64)))
+    if jax.default_backend() == "tpu":
+        # Emulated-f64 matmuls cost ~21 ms/apply at V=195k; the
+        # double-float transform keeps eps32^2-grade accuracy on f32 VPU
+        # ops (`ops.df64.small_matmul_df64`).
+        from dots_socp_tpu.ops.df64 import small_matmul_df64 as _tmul
+    else:
+        _tmul = lambda m, v: m @ v
+    b64 = deflate(-_tmul(ut.T, rhs.astype(f64)))
     x64 = (
         jnp.zeros_like(b64)
         if x0 is None
-        else deflate(ut.T @ x0.astype(f64))
+        else deflate(_tmul(ut.T, x0.astype(f64)))
     )
     thresh64 = row_thresh(b64, rtol.astype(f64))
     thresh_w = thresh64.astype(work)
@@ -1037,5 +1044,5 @@ def cg_solve(
     x64, iters, _, _ = jax.lax.while_loop(
         cond, body, (x64, jnp.asarray(0, jnp.int32), jnp.int32(0), False)
     )
-    x = ut @ deflate(x64)
+    x = _tmul(ut, deflate(x64))
     return (x, iters) if return_iters else x

@@ -87,3 +87,18 @@ def test_df64_beats_f32_floor_in_cancellation_regime(refine_op):
     assert err_df < 1e-11, err_df
     assert err_f32 > 1e-8  # the floor df64 is built to beat
     assert err_df < err_f32 * 1e-3
+
+
+def test_small_matmul_df64_matches_native_f64(refine_op):
+    from dots_socp_tpu.ops.df64 import small_matmul_df64
+
+    op, _ = refine_op
+    v = op.s.shape[0]
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(np.linalg.qr(rng.standard_normal((8, 8)))[0])
+    x = jnp.asarray(rng.standard_normal((8, v)))
+    ref = u @ x
+    got = small_matmul_df64(u, x)
+    assert got.dtype == jnp.float64
+    rel = np.max(np.abs(np.asarray(got - ref))) / np.max(np.abs(np.asarray(ref)))
+    assert rel < 1e-12, rel
